@@ -1,0 +1,56 @@
+"""Golden tests for the official VQA accuracy metric + normalization."""
+
+import numpy as np
+
+from vqa_transfer_externaldata_tpu.utils import metrics
+
+
+def test_normalize_contractions():
+    assert metrics.normalize_answer("dont") == "don't"
+    assert metrics.normalize_answer("isnt it") == "isn't it"
+
+
+def test_normalize_digits_and_articles():
+    assert metrics.normalize_answer("two") == "2"
+    assert metrics.normalize_answer("a cat") == "cat"
+    assert metrics.normalize_answer("the one dog") == "1 dog"
+    assert metrics.normalize_answer("none") == "0"
+
+
+def test_normalize_punctuation():
+    assert metrics.normalize_answer("yes!") == "yes"
+    assert metrics.normalize_answer("red, white") == "red white"
+    # comma inside a number is stripped, not spaced
+    assert metrics.normalize_answer("1,000") == "1,000".replace(",", "")
+
+
+def test_accuracy_unanimous():
+    assert metrics.vqa_accuracy("yes", ["yes"] * 10) == 1.0
+
+
+def test_accuracy_zero():
+    assert metrics.vqa_accuracy("no", ["yes"] * 10) == 0.0
+
+
+def test_accuracy_partial():
+    # 3 of 10 annotators say "cat": leave-one-out subsets have 2 or 3 matches
+    gts = ["cat"] * 3 + ["dog"] * 7
+    # subsets leaving out a "cat": 2 matches -> 2/3 ; leaving out "dog": 3 -> 1
+    expected = (3 * (2 / 3) + 7 * 1.0) / 10
+    assert abs(metrics.vqa_accuracy("cat", gts) - expected) < 1e-9
+
+
+def test_accuracy_min_cap():
+    # 10/10 matches still capped at 1
+    assert metrics.vqa_accuracy("2", ["two"] * 10) == 1.0
+
+
+def test_answer_scores_and_soft_accuracy():
+    a2i = {"yes": 4, "no": 5, "2": 6}
+    gts = ["yes"] * 5 + ["no"] * 5
+    scores = metrics.answer_scores(gts, a2i, num_answers=8)
+    assert scores[4] > 0 and scores[5] > 0 and scores[6] == 0
+    # both present 5/10 times: leave-one-out matches are 4 or 5, all >=3 -> 1.0
+    assert scores[4] == 1.0 and scores[5] == 1.0
+    table = np.stack([scores, scores])
+    assert metrics.soft_accuracy(np.array([4, 6]), table) == 0.5

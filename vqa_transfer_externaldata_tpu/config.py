@@ -1,0 +1,186 @@
+"""Configuration system.
+
+The reference threads a flat ``argparse.Namespace`` through every layer
+(SURVEY.md section 1, component C13: per-entrypoint argparse + per-model arg
+hooks + ``train_dir`` naming from hyperparams). Here the same capability is a
+typed dataclass tree with a flat ``--section.field`` argparse overlay, so one
+config object serves both stages and every entrypoint, and the ``train_dir``
+name is still derived from the hyperparameters that matter.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields
+from typing import Any, Optional, Sequence
+
+
+# ---------------------------------------------------------------------------
+# Leaf configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DataConfig:
+    """Dataset artifact locations and static shapes (reference C2/C5/C7)."""
+
+    dataset_dir: str = "data/preprocessed/vqa_v2"
+    feature_path: str = ""  # HDF5/npz of precomputed image grid features
+    vocab_path: str = ""  # question vocab json
+    answer_vocab_path: str = ""  # top-K answer vocab json
+    glove_path: str = ""  # filtered GloVe matrix (npz) or raw .txt
+    # Static shapes (XLA: everything fixed at trace time).
+    max_question_len: int = 26  # reference pads questions to a fixed length
+    grid_h: int = 14
+    grid_w: int = 14
+    feature_dim: int = 2048  # ResNet-101 conv5 channels
+    pool5_dim: int = 2048
+    num_answers: int = 2000  # top-K answer vocab size
+    vocab_size: int = 8192  # question-word vocab size (padded for MXU tiling)
+    # Synthetic-data mode (tests / benchmarking without the real corpora).
+    synthetic: bool = False
+    synthetic_size: int = 1024
+
+
+@dataclass
+class ModelConfig:
+    """Model family + dimensions (reference C6/C8 model zoo flags)."""
+
+    model: str = "vqa_attention"  # registry key, see models/zoo.py
+    word_dim: int = 300  # GloVe dimensionality
+    rnn_dim: int = 512  # GRU hidden size
+    fusion_dim: int = 1024  # joint embedding dim
+    att_hidden: int = 512  # attention score-MLP hidden size
+    answer_dim: int = 300  # answer-embedding space (ties to word_dim)
+    dropout: float = 0.5
+    dtype: str = "bfloat16"  # compute dtype on TPU; params stay float32
+    use_pallas: bool = True  # fused Pallas kernels for hot ops
+    # vlmap (stage-1) specific
+    num_tasks: int = 32
+    task_dim: int = 64
+    num_candidates: int = 512  # candidate answer-words per vlmap example
+
+
+@dataclass
+class TrainConfig:
+    """Optimization + loop control (reference C10 trainer flags)."""
+
+    batch_size: int = 256  # global batch (sharded over the data axis)
+    learning_rate: float = 1e-3
+    lr_decay_steps: int = 10_000
+    lr_decay_rate: float = 0.9
+    warmup_steps: int = 200
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8
+    grad_clip_norm: float = 10.0
+    weight_decay: float = 0.0
+    max_steps: int = 100_000
+    log_every: int = 50
+    eval_every: int = 1000
+    checkpoint_every: int = 1000
+    keep_checkpoints: int = 5
+    seed: int = 123
+    train_dir: str = "train_dir"
+    resume: bool = True  # auto-resume from latest checkpoint in train_dir
+    # Transfer (stage-2) init: path to a stage-1 (vlmap) checkpoint whose
+    # word/answer embedding space seeds the answer classifier (reference C12).
+    pretrained_param_path: str = ""
+    donate_state: bool = True
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh layout (new in the rebuild; reference is single-device).
+
+    Axis names are fixed so a model axis can be added later without breaking
+    checkpoints (SURVEY.md section 2, parallelism table).
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    num_data: int = -1  # -1: all visible devices on the data axis
+    num_model: int = 1
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # -- argparse overlay ---------------------------------------------------
+
+    @classmethod
+    def parser(cls) -> argparse.ArgumentParser:
+        p = argparse.ArgumentParser(
+            description="tpu-vqa-transfer",
+            formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        )
+        for section_field in fields(cls):
+            section_cls = section_field.default_factory  # type: ignore[union-attr]
+            for f in fields(section_cls()):
+                flag = f"--{section_field.name}.{f.name}"
+                default = getattr(section_cls(), f.name)
+                if f.type in ("bool", bool):
+                    p.add_argument(
+                        flag, type=_parse_bool, default=None, metavar="BOOL"
+                    )
+                else:
+                    p.add_argument(flag, type=type(default), default=None)
+        p.add_argument("--config_json", type=str, default=None,
+                       help="JSON file of overrides, applied before flags")
+        return p
+
+    @classmethod
+    def from_args(cls, argv: Optional[Sequence[str]] = None) -> "Config":
+        args, _ = cls.parser().parse_known_args(argv)
+        cfg = cls()
+        if args.config_json:
+            with open(args.config_json) as fh:
+                cfg = cfg.replace_flat(json.load(fh))
+        overrides = {
+            k: v for k, v in vars(args).items()
+            if v is not None and k != "config_json"
+        }
+        return cfg.replace_flat(overrides)
+
+    def replace_flat(self, overrides: dict) -> "Config":
+        """Apply ``{"section.field": value}`` overrides, returning a new Config."""
+        sections = {f.name: dataclasses.replace(getattr(self, f.name))
+                    for f in fields(self)}
+        for key, value in overrides.items():
+            section_name, _, field_name = key.partition(".")
+            if not field_name:
+                raise KeyError(f"override key must be section.field, got {key!r}")
+            section = sections[section_name]
+            if not hasattr(section, field_name):
+                raise KeyError(f"unknown config field {key!r}")
+            setattr(section, field_name, value)
+        return Config(**sections)
+
+    # -- train_dir naming (reference encodes hyperparams in the dir name) ---
+
+    def run_name(self, stage: str) -> str:
+        m, t = self.model, self.train
+        return (
+            f"{stage}_{m.model}_bs{t.batch_size}_lr{t.learning_rate:g}"
+            f"_d{m.fusion_dim}_seed{t.seed}"
+        )
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+
+def _parse_bool(s: str) -> bool:
+    if s.lower() in ("1", "true", "yes", "on"):
+        return True
+    if s.lower() in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"not a bool: {s!r}")
