@@ -1,0 +1,86 @@
+"""Fused spatial-attention Pallas kernel vs jnp oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqa_transfer_externaldata_tpu.ops.attention import (
+    spatial_attention, spatial_attention_reference)
+
+
+@pytest.fixture(scope="module")
+def data():
+    B, N, C, H = 8, 196, 256, 64  # smaller C than prod (2048) for test speed
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    qh = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    wv = jnp.asarray(rng.normal(size=(C, H)) * 0.05, jnp.float32)
+    ws = jnp.asarray(rng.normal(size=(H,)) * 0.1, jnp.float32)
+    return v, qh, wv, ws
+
+
+def test_reference_softmax_properties(data):
+    v, qh, wv, ws = data
+    v_att, alpha = spatial_attention_reference(v, qh, wv, ws)
+    assert v_att.shape == (8, 256) and alpha.shape == (8, 196)
+    np.testing.assert_allclose(np.asarray(alpha.sum(1)), 1.0, rtol=1e-5)
+    assert (np.asarray(alpha) >= 0).all()
+
+
+def test_pallas_matches_reference(data):
+    v, qh, wv, ws = data
+    ref_att, ref_alpha = spatial_attention_reference(v, qh, wv, ws)
+    pal_att, pal_alpha = spatial_attention(v, qh, wv, ws, use_pallas=True,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(pal_alpha), np.asarray(ref_alpha),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pal_att), np.asarray(ref_att),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_matches_reference_bf16(data):
+    v, qh, wv, ws = data
+    v16 = v.astype(jnp.bfloat16)
+    ref_att, _ = spatial_attention_reference(v16, qh, wv, ws)
+    pal_att, _ = spatial_attention(v16, qh, wv, ws, interpret=True)
+    np.testing.assert_allclose(np.asarray(pal_att), np.asarray(ref_att),
+                               rtol=0.05, atol=0.05)
+
+
+def test_pallas_odd_batch_block(data):
+    v, qh, wv, ws = data
+    v3, qh3 = v[:3], qh[:3]  # batch 3 -> block_b falls back to 3
+    ref_att, _ = spatial_attention_reference(v3, qh3, wv, ws)
+    pal_att, _ = spatial_attention(v3, qh3, wv, ws, interpret=True)
+    np.testing.assert_allclose(np.asarray(pal_att), np.asarray(ref_att),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_custom_vjp_matches_reference_grad(data):
+    v, qh, wv, ws = data
+
+    def loss_pallas(v, qh, wv, ws):
+        v_att, alpha = spatial_attention(v, qh, wv, ws, interpret=True)
+        return jnp.sum(v_att ** 2) + jnp.sum(alpha * alpha)
+
+    def loss_ref(v, qh, wv, ws):
+        v_att, alpha = spatial_attention_reference(v, qh, wv, ws)
+        return jnp.sum(v_att ** 2) + jnp.sum(alpha * alpha)
+
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(v, qh, wv, ws)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(v, qh, wv, ws)
+    for gp, gr in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_attention_attends_to_salient_cell():
+    """A cell whose feature aligns with the score weights should win."""
+    B, N, C, H = 2, 16, 32, 8
+    v = jnp.zeros((B, N, C)).at[:, 5, :].set(3.0)
+    qh = jnp.zeros((B, H))
+    wv = jnp.full((C, H), 0.1, jnp.float32)
+    ws = jnp.full((H,), 1.0, jnp.float32)
+    _, alpha = spatial_attention_reference(v, qh, wv, ws)
+    assert int(np.asarray(alpha).argmax(1)[0]) == 5

@@ -1,0 +1,86 @@
+"""GRU encoder numerics: fused/scan implementation vs per-step oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqa_transfer_externaldata_tpu.ops.gru import (
+    BiGRUEncoder, GRUEncoder, gru_reference)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    B, T, D, H = 4, 7, 12, 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lengths = np.array([7, 3, 1, 5])
+    mask = jnp.asarray(np.arange(T)[None, :] < lengths[:, None], jnp.float32)
+    enc = GRUEncoder(hidden=H, dtype=jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x, mask)
+    return enc, params, x, mask, lengths, H
+
+
+def test_matches_per_step_oracle(setup):
+    enc, params, x, mask, _, H = setup
+    out = enc.apply(params, x, mask)
+    ref = gru_reference(params["params"], x, mask, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mask_freezes_carry(setup):
+    """Changing inputs beyond a row's length must not change its output."""
+    enc, params, x, mask, lengths, _ = setup
+    out1 = enc.apply(params, x, mask)
+    x2 = x.at[1, 3:].set(99.0)  # row 1 has length 3
+    out2 = enc.apply(params, x2, mask)
+    np.testing.assert_allclose(np.asarray(out1[1]), np.asarray(out2[1]),
+                               rtol=1e-6, atol=1e-6)
+    # sanity: an in-range change does alter the output
+    x3 = x.at[1, 1].set(99.0)
+    out3 = enc.apply(params, x3, mask)
+    assert not np.allclose(np.asarray(out1[1]), np.asarray(out3[1]))
+
+
+def test_final_state_equals_truncated_run(setup):
+    """Carry at T equals running only the first `len` steps."""
+    enc, params, x, mask, lengths, H = setup
+    out = enc.apply(params, x, mask)
+    row = 3
+    L = int(lengths[row])
+    short = enc.apply(params, x[row:row + 1, :L], mask[row:row + 1, :L])
+    # tolerance is loose because the hoisted [B*T, D] matmul uses different
+    # shapes (hence different XLA codegen) for the two runs
+    np.testing.assert_allclose(np.asarray(out[row]), np.asarray(short[0]),
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_gradients_flow(setup):
+    enc, params, x, mask, _, _ = setup
+
+    def loss(p):
+        return jnp.sum(enc.apply(p, x, mask) ** 2)
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(np.abs(np.asarray(g)).max() > 0 for g in flat)
+
+
+def test_bigru_shape(setup):
+    _, _, x, mask, _, H = setup
+    enc = BiGRUEncoder(hidden=H, dtype=jnp.float32)
+    params = enc.init(jax.random.PRNGKey(1), x, mask)
+    out = enc.apply(params, x, mask)
+    assert out.shape == (x.shape[0], 2 * H)
+
+
+def test_bf16_close_to_f32(setup):
+    enc_f32, params, x, mask, _, H = setup
+    enc_bf16 = GRUEncoder(hidden=H, dtype=jnp.bfloat16)
+    out32 = enc_f32.apply(params, x, mask)
+    out16 = enc_bf16.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(out32),
+                               np.asarray(out16, dtype=np.float32),
+                               rtol=0.1, atol=0.05)
