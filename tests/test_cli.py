@@ -1,0 +1,64 @@
+"""End-to-end CLI flows: both stages + transfer + eval (reference 3.1-3.3)."""
+
+import json
+import os
+
+from vqa_transfer_externaldata_tpu.cli import eval as eval_cli
+from vqa_transfer_externaldata_tpu.cli import train as train_cli
+
+TINY = [
+    "--data.synthetic", "true", "--data.synthetic_size", "128",
+    "--data.vocab_size", "64", "--data.num_answers", "16",
+    "--data.grid_h", "2", "--data.grid_w", "2",
+    "--data.feature_dim", "16", "--data.pool5_dim", "16",
+    "--data.max_question_len", "6",
+    "--model.word_dim", "8", "--model.rnn_dim", "8",
+    "--model.fusion_dim", "16", "--model.att_hidden", "8",
+    "--model.answer_dim", "8", "--model.dtype", "float32",
+    "--model.num_tasks", "4", "--model.task_dim", "4",
+    "--model.num_candidates", "8", "--model.dropout", "0.0",
+    "--train.batch_size", "16", "--train.max_steps", "8",
+    "--train.log_every", "4", "--train.eval_every", "10000",
+    "--train.checkpoint_every", "4", "--train.warmup_steps", "1",
+]
+
+
+def test_full_two_stage_pipeline(tmp_path):
+    # Stage 1: vlmap pretraining
+    vlmap_dir = train_cli.main(TINY + [
+        "--model.model", "vlmap",
+        "--train.train_dir", str(tmp_path / "vlmap_run")])
+    assert os.path.exists(os.path.join(vlmap_dir, "params_final"))
+    assert os.path.exists(os.path.join(vlmap_dir, "config.json"))
+
+    # Stage 2: vqa with transfer init from stage 1
+    vqa_dir = train_cli.main(TINY + [
+        "--model.model", "vqa_attention",
+        "--train.train_dir", str(tmp_path / "vqa_run"),
+        "--train.pretrained_param_path",
+        os.path.join(vlmap_dir, "params_final")])
+    assert os.path.exists(os.path.join(vqa_dir, "params_final"))
+
+    # Eval: metrics + official-format results JSON
+    metrics = eval_cli.main([
+        "--train.train_dir", vqa_dir, "--eval_split", "val"])
+    assert "vqa_accuracy" in metrics
+    results_path = os.path.join(vqa_dir, "results_val.json")
+    with open(results_path) as fh:
+        results = json.load(fh)
+    assert len(results) == 128  # every val question answered
+    assert set(results[0]) == {"question_id", "answer"}
+
+
+def test_train_resume_via_cli(tmp_path):
+    d = str(tmp_path / "resume_run")
+    train_cli.main(TINY + ["--model.model", "vqa_baseline",
+                           "--train.train_dir", d,
+                           "--train.max_steps", "4"])
+    # second invocation resumes at 4 and continues to 8
+    train_cli.main(TINY + ["--model.model", "vqa_baseline",
+                           "--train.train_dir", d,
+                           "--train.max_steps", "8"])
+    with open(os.path.join(d, "metrics.jsonl")) as fh:
+        steps = [json.loads(l)["step"] for l in fh]
+    assert max(steps) == 8

@@ -1,0 +1,86 @@
+"""Model zoo: init/forward shapes + loss semantics for every family."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqa_transfer_externaldata_tpu.data.datasets import (
+    load_dataset, synthetic_vlmap, synthetic_vqa)
+from vqa_transfer_externaldata_tpu.models.zoo import build_model
+from vqa_transfer_externaldata_tpu.models.vqa_attention import vqa_loss
+from vqa_transfer_externaldata_tpu.utils.vocab import UNK_ID
+
+
+@pytest.mark.parametrize("name", ["vqa_attention", "vqa_baseline", "vlmap"])
+def test_forward_shapes(tiny_config, name):
+    cfg = tiny_config.replace_flat({"model.model": name})
+    spec = build_model(cfg)
+    ds = load_dataset(cfg, "train", stage=spec.stage)
+    batch = next(ds.batches(8, epochs=1, shuffle=False))
+    params = spec.module.init({"params": jax.random.PRNGKey(0)},
+                              *spec.inputs(batch), train=False)
+    out = spec.module.apply(params, *spec.inputs(batch), train=False)
+    expected_classes = (cfg.model.num_candidates if name == "vlmap"
+                        else cfg.data.num_answers)
+    assert out["logits"].shape == (8, expected_classes)
+    loss, metrics = spec.loss(out, batch)
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(metrics["accuracy"]) <= 1.0
+
+
+def test_word_init_is_used(tiny_config):
+    cfg = tiny_config
+    rng = np.random.default_rng(0)
+    word_init = rng.normal(size=(cfg.data.vocab_size,
+                                 cfg.model.word_dim)).astype(np.float32)
+    spec = build_model(cfg.replace_flat({"model.model": "vqa_attention"}),
+                       word_init=word_init)
+    ds = load_dataset(cfg, "train")
+    batch = next(ds.batches(4, epochs=1, shuffle=False))
+    params = spec.module.init({"params": jax.random.PRNGKey(0)},
+                              *spec.inputs(batch), train=False)
+    stored = np.asarray(params["params"]["word_emb"]["embedding"])
+    np.testing.assert_array_equal(stored, word_init)
+
+
+def test_vqa_loss_masks_unk_answers(tiny_config):
+    logits = jnp.zeros((4, 8))
+    batch_all_unk = {"answer_id": jnp.full((4,), UNK_ID, jnp.int32)}
+    loss, m = vqa_loss({"logits": logits}, batch_all_unk)
+    assert float(loss) == 0.0  # every row masked out
+
+    batch = {"answer_id": jnp.array([5, UNK_ID, 5, 5], jnp.int32)}
+    logits2 = jnp.zeros((4, 8)).at[0, 5].set(100.0)
+    _, m2 = vqa_loss({"logits": logits2}, batch)
+    # only rows 0,2,3 count; row 0 correct -> acc 1/3
+    assert abs(float(m2["accuracy"]) - 1 / 3) < 1e-6
+
+
+def test_dropout_rng_changes_train_outputs(tiny_config):
+    cfg = tiny_config.replace_flat({"model.model": "vqa_attention",
+                                    "model.dropout": 0.5})
+    spec = build_model(cfg)
+    ds = load_dataset(cfg, "train")
+    batch = next(ds.batches(4, epochs=1, shuffle=False))
+    params = spec.module.init({"params": jax.random.PRNGKey(0)},
+                              *spec.inputs(batch), train=False)
+    o1 = spec.module.apply(params, *spec.inputs(batch), train=True,
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+    o2 = spec.module.apply(params, *spec.inputs(batch), train=True,
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+    o3 = spec.module.apply(params, *spec.inputs(batch), train=False)
+    assert not np.allclose(np.asarray(o1["logits"]), np.asarray(o2["logits"]))
+    o3b = spec.module.apply(params, *spec.inputs(batch), train=False)
+    np.testing.assert_array_equal(np.asarray(o3["logits"]),
+                                  np.asarray(o3b["logits"]))
+
+
+def test_synthetic_data_is_deterministic(tiny_config):
+    a = synthetic_vqa(tiny_config, seed=7)
+    b = synthetic_vqa(tiny_config, seed=7)
+    for k in a.arrays:
+        np.testing.assert_array_equal(a.arrays[k], b.arrays[k])
+    c = synthetic_vlmap(tiny_config, seed=7)
+    assert c.arrays["candidates"][
+        np.arange(len(c)), c.arrays["label"]].min() >= 4

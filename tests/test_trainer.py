@@ -1,0 +1,110 @@
+"""Shared DP trainer: loss decrease, sharded==single-device, resume."""
+
+import numpy as np
+import jax
+import pytest
+
+from vqa_transfer_externaldata_tpu.data.datasets import load_dataset
+from vqa_transfer_externaldata_tpu.models.zoo import build_model
+from vqa_transfer_externaldata_tpu.parallel.mesh import create_mesh
+from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
+
+
+def _losses_from_jsonl(train_dir):
+    import json, os
+
+    path = os.path.join(train_dir, "metrics.jsonl")
+    with open(path) as fh:
+        return [json.loads(line)["train/loss"] for line in fh
+                if "train/loss" in line]
+
+
+@pytest.mark.parametrize("name", ["vqa_baseline", "vqa_attention", "vlmap"])
+def test_loss_decreases(tiny_config, tmp_path, name, eight_cpu_devices):
+    cfg = tiny_config.replace_flat({"model.model": name})
+    spec = build_model(cfg)
+    ds = load_dataset(cfg, "train", stage=spec.stage)
+    trainer = Trainer(cfg, spec, train_dir=str(tmp_path / name))
+    assert trainer.mesh.devices.size == 8  # full fake mesh in use
+    example = next(ds.batches(1, epochs=1, shuffle=False))
+    state = trainer.init_state(example)
+    state = trainer.fit(ds.batches(cfg.train.batch_size), state,
+                        max_steps=40)
+    losses = _losses_from_jsonl(str(tmp_path / name))
+    assert losses[-1] < losses[0] * 0.9, f"no learning: {losses}"
+    trainer.close()
+
+
+def test_sharded_equals_single_device(tiny_config, tmp_path,
+                                      eight_cpu_devices):
+    """The 8-way data-parallel step must match the 1-device step
+    (SURVEY.md section 4's distributed test)."""
+    cfg = tiny_config.replace_flat({"model.model": "vqa_baseline",
+                                    "model.dropout": 0.0})
+    spec = build_model(cfg)
+    ds = load_dataset(cfg, "train", stage=spec.stage)
+
+    def run(mesh_devices, tag):
+        mesh = create_mesh(cfg, devices=mesh_devices)
+        trainer = Trainer(cfg, spec, mesh=mesh,
+                          train_dir=str(tmp_path / tag))
+        state = trainer.init_state(
+            next(ds.batches(1, epochs=1, shuffle=False)))
+        state = trainer.fit(
+            ds.batches(cfg.train.batch_size, seed=0), state, max_steps=5)
+        trainer.close()
+        return jax.device_get(state.params)
+
+    p8 = run(eight_cpu_devices, "mesh8")
+    p1 = run(eight_cpu_devices[:1], "mesh1")
+    flat8 = jax.tree_util.tree_leaves_with_path(p8)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(p1))
+    for path, v8 in flat8:
+        v1 = flat1[path]
+        np.testing.assert_allclose(np.asarray(v8), np.asarray(v1),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=str(path))
+
+
+def test_checkpoint_resume_bitwise(tiny_config, tmp_path,
+                                   eight_cpu_devices):
+    """Train 20+20 with a restart == train 40 straight (same data order)."""
+    cfg = tiny_config.replace_flat({"model.model": "vqa_baseline",
+                                    "model.dropout": 0.0,
+                                    "train.checkpoint_every": 20})
+    spec = build_model(cfg)
+    ds = load_dataset(cfg, "train", stage=spec.stage)
+    example = next(ds.batches(1, epochs=1, shuffle=False))
+
+    # straight 40 steps
+    tr_a = Trainer(cfg, spec, train_dir=str(tmp_path / "straight"))
+    state_a = tr_a.init_state(example)
+    state_a = tr_a.fit(ds.batches(cfg.train.batch_size, seed=0), state_a,
+                       max_steps=40)
+    tr_a.close()
+
+    # 20 steps, save, restore into a fresh trainer, 20 more
+    tr_b = Trainer(cfg, spec, train_dir=str(tmp_path / "resumed"))
+    state_b = tr_b.init_state(example)
+    it = ds.batches(cfg.train.batch_size, seed=0)
+    state_b = tr_b.fit(it, state_b, max_steps=20)
+    tr_b.close()
+
+    tr_c = Trainer(cfg, spec, train_dir=str(tmp_path / "resumed"))
+    state_c = tr_c.init_state(example)
+    state_c = tr_c.restore(state_c)
+    assert int(jax.device_get(state_c.step)) == 20
+    # consume the first 20 batches to realign the data stream
+    it2 = ds.batches(cfg.train.batch_size, seed=0)
+    for _ in range(20):
+        next(it2)
+    state_c = tr_c.fit(it2, state_c, max_steps=40)
+    tr_c.close()
+
+    pa = jax.device_get(state_a.params)
+    pc = jax.device_get(state_c.params)
+    for (path, va), (_, vc) in zip(
+            jax.tree_util.tree_leaves_with_path(pa),
+            jax.tree_util.tree_leaves_with_path(pc)):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vc),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(path))

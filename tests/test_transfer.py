@@ -1,0 +1,76 @@
+"""Cross-stage transfer glue (reference C12): vlmap -> vqa param mapping."""
+
+import jax
+import numpy as np
+
+from vqa_transfer_externaldata_tpu.data.datasets import (
+    load_dataset, synthetic_vocabs)
+from vqa_transfer_externaldata_tpu.models.zoo import build_model
+from vqa_transfer_externaldata_tpu.utils.checkpoint import (
+    answer_embedding_from_words, load_params, save_params, transfer_init)
+from vqa_transfer_externaldata_tpu.utils.vocab import SPECIALS, Vocab
+
+
+def _init_params(cfg, name):
+    spec = build_model(cfg.replace_flat({"model.model": name}))
+    ds = load_dataset(cfg, "train", stage=spec.stage)
+    batch = next(ds.batches(2, epochs=1, shuffle=False))
+    return spec.module.init({"params": jax.random.PRNGKey(0)},
+                            *spec.inputs(batch), train=False)["params"]
+
+
+def test_word_table_paths_match(tiny_config):
+    """Both stages expose the table at params/word_emb/embedding."""
+    vq = _init_params(tiny_config, "vqa_attention")
+    vl = _init_params(tiny_config, "vlmap")
+    assert vq["word_emb"]["embedding"].shape == \
+        vl["word_emb"]["embedding"].shape
+
+
+def test_answer_embedding_from_words():
+    words = Vocab.from_tokens(SPECIALS + ["hot", "dog", "cat"])
+    answers = Vocab.from_tokens(SPECIALS + ["hot dog", "cat", "zzz"])
+    table = np.zeros((len(words), 4), np.float32)
+    table[words.token_to_id["hot"]] = 1.0
+    table[words.token_to_id["dog"]] = 3.0
+    table[words.token_to_id["cat"]] = 7.0
+    out = answer_embedding_from_words(table, words, answers)
+    np.testing.assert_allclose(out[answers.token_to_id["hot dog"]], 2.0)
+    np.testing.assert_allclose(out[answers.token_to_id["cat"]], 7.0)
+    # unknown answer gets small random init, not zeros
+    assert 0 < np.abs(out[answers.token_to_id["zzz"]]).max() < 0.1
+
+
+def test_transfer_init_maps_tables(tiny_config):
+    cfg = tiny_config
+    word_vocab, answer_vocab = synthetic_vocabs(cfg)
+    vq = _init_params(cfg, "vqa_attention")
+    vl = _init_params(cfg, "vlmap")
+    # give the vlmap table a recognizable value
+    marked = np.asarray(vl["word_emb"]["embedding"]).copy()
+    marked[:] = np.arange(marked.shape[0])[:, None]
+    vl["word_emb"] = {"embedding": marked}
+
+    out = transfer_init(vq, vl, word_vocab, answer_vocab)
+    np.testing.assert_array_equal(
+        np.asarray(out["word_emb"]["embedding"]), marked)
+    # answer row for token "w3" (id 4+3) = word embedding of "w3"
+    a_id = answer_vocab.token_to_id["w3"]
+    w_id = word_vocab.token_to_id["w3"]
+    np.testing.assert_allclose(np.asarray(out["answer_embedding"])[a_id],
+                               marked[w_id])
+    # untouched params stay identical
+    np.testing.assert_array_equal(np.asarray(out["att_wv"]),
+                                  np.asarray(vq["att_wv"]))
+
+
+def test_params_roundtrip_via_orbax(tiny_config, tmp_path):
+    vl = _init_params(tiny_config, "vlmap")
+    path = str(tmp_path / "params_final")
+    save_params(path, jax.device_get(vl))
+    back = load_params(path)
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(jax.device_get(vl)),
+            jax.tree_util.tree_leaves_with_path(back)):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,89 @@
+"""Training entrypoint for BOTH stages (reference: ``vlmap/trainer.py`` and
+``vqa/trainer.py`` — SURVEY.md sections 3.1/3.2; here one CLI dispatched by
+``--model.model``):
+
+    # stage 1 (visual-word pretraining)
+    python -m vqa_transfer_externaldata_tpu.cli.train --model.model vlmap ...
+    # stage 2 (VQA transfer; --train.pretrained_param_path = stage-1 params)
+    python -m vqa_transfer_externaldata_tpu.cli.train \
+        --model.model vqa_attention \
+        --train.pretrained_param_path <dir>/params_final ...
+
+Auto-resumes from the latest checkpoint in the train dir unless
+``--train.resume false``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional, Sequence
+
+import jax
+
+from vqa_transfer_externaldata_tpu.cli.common import (
+    build_spec, resolve_train_dir)
+from vqa_transfer_externaldata_tpu.config import Config
+from vqa_transfer_externaldata_tpu.data.datasets import load_dataset
+from vqa_transfer_externaldata_tpu.parallel.evaler import padded_batches
+from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
+from vqa_transfer_externaldata_tpu.utils.checkpoint import (
+    load_params, save_params, transfer_init)
+from vqa_transfer_externaldata_tpu.utils.logging import log
+
+
+def main(argv: Optional[Sequence[str]] = None) -> str:
+    cfg = Config.from_args(argv)
+    spec, word_vocab, answer_vocab = build_spec(cfg)
+    train_dir = resolve_train_dir(cfg, spec.stage)
+    os.makedirs(train_dir, exist_ok=True)
+    with open(os.path.join(train_dir, "config.json"), "w") as fh:
+        fh.write(cfg.to_json())
+    log.info("train_dir: %s  devices: %s", train_dir, jax.devices())
+
+    train_ds = load_dataset(cfg, "train", stage=spec.stage)
+    try:
+        val_ds = load_dataset(cfg, "val", stage=spec.stage)
+    except FileNotFoundError:
+        val_ds = None
+
+    trainer = Trainer(cfg, spec, train_dir=train_dir)
+    example = next(train_ds.batches(1, epochs=1, shuffle=False))
+    state = trainer.init_state(example)
+
+    # Cross-stage transfer init (reference C12) — before any resume so a
+    # resumed run keeps its trained values instead of re-seeding.
+    if cfg.train.pretrained_param_path:
+        if spec.stage != "vqa":
+            raise ValueError("--train.pretrained_param_path only applies to "
+                             "stage-2 (vqa) models")
+        pretrained = load_params(cfg.train.pretrained_param_path)
+        if "params" in pretrained:
+            pretrained = pretrained["params"]
+        host_params = jax.device_get(state.params)
+        new_params = transfer_init(host_params, pretrained,
+                                   word_vocab, answer_vocab)
+        state = trainer.init_state(example, params=new_params)
+        log.info("answer-embedding transfer init applied from %s",
+                 cfg.train.pretrained_param_path)
+
+    if cfg.train.resume and trainer.ckpt.latest_step() is not None:
+        state = trainer.restore(state)
+        log.info("resumed from step %d", int(jax.device_get(state.step)))
+
+    batches = train_ds.batches(cfg.train.batch_size, seed=cfg.train.seed)
+    eval_fn = None
+    if val_ds is not None:
+        eval_fn = lambda: padded_batches(val_ds, cfg.train.batch_size)[0]
+    state = trainer.fit(batches, state, eval_batches_fn=eval_fn)
+
+    # Publish final params as a standalone artifact for transfer/eval.
+    final_path = os.path.join(train_dir, "params_final")
+    save_params(final_path, jax.device_get(state.params))
+    log.info("final params saved to %s", final_path)
+    trainer.close()
+    return train_dir
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

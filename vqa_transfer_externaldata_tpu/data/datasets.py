@@ -1,0 +1,181 @@
+"""Datasets + input pipeline (reference C5/C7: HDF5-backed ``Dataset`` +
+TF1 queue/feed ``create_ops`` batching — SURVEY.md section 2).
+
+The rebuild replaces TF1 queues with a deterministic host-side batcher over
+in-memory (or HDF5-backed) arrays: epochs are seeded permutations, batches
+are fixed-shape numpy dicts, and the trainer moves them to device with the
+mesh's batch sharding (parallel/trainer.py). Static shapes throughout —
+drop-remainder batching keeps every jit step identical.
+
+Synthetic corpora generate shape-identical data with a *learnable* signal
+(answer depends on features+question through a fixed random projection) so
+train-loop tests and benchmarks can assert loss decrease without the real
+VQA v2 / Visual Genome artifacts (SURVEY.md section 4).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from vqa_transfer_externaldata_tpu.config import Config
+
+
+class ArrayDataset:
+    """Dict-of-arrays dataset with seeded shuffling + drop-last batching."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray]) -> None:
+        sizes = {k: v.shape[0] for k, v in arrays.items()}
+        assert len(set(sizes.values())) == 1, f"ragged arrays: {sizes}"
+        self.arrays = arrays
+        self.size = next(iter(sizes.values()))
+
+    def __len__(self) -> int:
+        return self.size
+
+    def batches(self, batch_size: int, *, shuffle: bool = True,
+                seed: int = 0, epochs: Optional[int] = None,
+                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield fixed-shape batches; infinite if ``epochs`` is None."""
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            if shuffle:
+                order = np.random.default_rng(
+                    np.random.SeedSequence([seed, epoch])).permutation(
+                        self.size)
+            else:
+                order = np.arange(self.size)
+            limit = (self.size // batch_size) * batch_size if drop_last \
+                else self.size
+            for start in range(0, limit, batch_size):
+                idx = order[start:start + batch_size]
+                yield {k: v[idx] for k, v in self.arrays.items()}
+            epoch += 1
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(path, **self.arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "ArrayDataset":
+        if path.endswith((".h5", ".hdf5")):
+            import h5py
+
+            with h5py.File(path, "r") as f:
+                return cls({k: np.asarray(f[k]) for k in f.keys()})
+        with np.load(path) as f:
+            return cls({k: f[k] for k in f.files})
+
+
+# ---------------------------------------------------------------------------
+# Synthetic corpora (tests / benchmarks without the real datasets)
+# ---------------------------------------------------------------------------
+
+
+def synthetic_vqa(cfg: Config, *, size: Optional[int] = None,
+                  seed: int = 0, with_grid: bool = True,
+                  with_scores: bool = False) -> ArrayDataset:
+    """Shape-identical synthetic VQA data with a learnable mapping.
+
+    answer_id = argmax over a fixed random projection of the true signal
+    (mean grid feature + bag of question embeddings), so any model that sees
+    the inputs can drive the CE loss well below chance.
+    """
+    d = cfg.data
+    n = size or d.synthetic_size
+    rng = np.random.default_rng(seed)
+    N = d.grid_h * d.grid_w
+    q_len = rng.integers(3, d.max_question_len + 1, size=n)
+    q_ids = np.zeros((n, d.max_question_len), np.int32)
+    for i, L in enumerate(q_len):
+        q_ids[i, :L] = rng.integers(4, d.vocab_size, size=L)
+
+    pool5 = rng.normal(size=(n, d.pool5_dim)).astype(np.float32)
+    arrays: Dict[str, np.ndarray] = {"q_ids": q_ids, "pool5": pool5}
+    if with_grid:
+        grid = rng.normal(size=(n, N, d.feature_dim)).astype(np.float32)
+        grid += pool5[:, None, : d.feature_dim]  # grid agrees with pool5
+        arrays["features"] = grid.astype(np.float32)
+
+    # Learnable answer: fixed projections of (pool5, question histogram).
+    proj_v = np.random.default_rng(1234).normal(
+        size=(d.pool5_dim, d.num_answers)).astype(np.float32)
+    proj_q = np.random.default_rng(5678).normal(
+        size=(d.vocab_size, d.num_answers)).astype(np.float32)
+    q_hist = np.zeros((n, d.vocab_size), np.float32)
+    rows = np.repeat(np.arange(n), d.max_question_len)
+    q_hist[rows, q_ids.reshape(-1)] += 1.0
+    q_hist[:, 0] = 0.0  # ignore padding
+    score = pool5 @ proj_v + q_hist @ proj_q
+    # answers 4.. (skip specials); never <unk>
+    answer = 4 + (np.argmax(score, axis=1) % (d.num_answers - 4))
+    arrays["answer_id"] = answer.astype(np.int32)
+    if with_scores:
+        scores = np.zeros((n, d.num_answers), np.float32)
+        scores[np.arange(n), answer] = 1.0
+        arrays["answer_scores"] = scores
+    return ArrayDataset(arrays)
+
+
+def synthetic_vlmap(cfg: Config, *, size: Optional[int] = None,
+                    seed: int = 0) -> ArrayDataset:
+    """Synthetic stage-1 data: region feature determines the positive word
+    through a fixed projection; candidates are a random negative set with the
+    positive planted at a random index."""
+    d, m = cfg.data, cfg.model
+    n = size or d.synthetic_size
+    K = m.num_candidates
+    rng = np.random.default_rng(seed)
+    feature = rng.normal(size=(n, d.pool5_dim)).astype(np.float32)
+    task = rng.integers(0, m.num_tasks, size=n).astype(np.int32)
+    proj = np.random.default_rng(42).normal(
+        size=(d.pool5_dim, d.vocab_size)).astype(np.float32)
+    positive = 4 + (np.argmax(feature @ proj, axis=1) % (d.vocab_size - 4))
+    candidates = rng.integers(4, d.vocab_size, size=(n, K)).astype(np.int32)
+    label = rng.integers(0, K, size=n).astype(np.int32)
+    candidates[np.arange(n), label] = positive
+    return ArrayDataset({
+        "feature": feature, "task": task,
+        "candidates": candidates, "label": label.astype(np.int32)})
+
+
+def synthetic_vocabs(cfg: Config):
+    """Deterministic word/answer vocabs for synthetic mode: every answer
+    token is a word-vocab token, so transfer_init has real rows to map."""
+    from vqa_transfer_externaldata_tpu.utils.vocab import SPECIALS, Vocab
+
+    d = cfg.data
+    words = SPECIALS + [f"w{i}" for i in range(d.vocab_size - len(SPECIALS))]
+    answers = SPECIALS + [f"w{i}"
+                          for i in range(d.num_answers - len(SPECIALS))]
+    return Vocab.from_tokens(words), Vocab.from_tokens(answers)
+
+
+# ---------------------------------------------------------------------------
+# Loading (real artifacts produced by the data tools, or synthetic fallback)
+# ---------------------------------------------------------------------------
+
+
+def load_dataset(cfg: Config, split: str, stage: str = "vqa",
+                 **synth_kw) -> ArrayDataset:
+    """Load the preprocessed artifact for ``split`` (reference C5/C7), or the
+    synthetic equivalent when ``config.data.synthetic`` is set."""
+    if cfg.data.synthetic:
+        seed = {"train": 0, "val": 1, "test": 2}.get(split, 3)
+        if stage == "vlmap":
+            return synthetic_vlmap(cfg, seed=seed, **synth_kw)
+        return synthetic_vqa(cfg, seed=seed,
+                             with_scores=(split != "train"), **synth_kw)
+    path = os.path.join(cfg.data.dataset_dir, f"{stage}_{split}.npz")
+    if not os.path.exists(path):
+        path_h5 = os.path.join(cfg.data.dataset_dir, f"{stage}_{split}.hdf5")
+        if os.path.exists(path_h5):
+            path = path_h5
+        else:
+            raise FileNotFoundError(
+                f"no preprocessed {stage}/{split} artifact under "
+                f"{cfg.data.dataset_dir}; run the data tools "
+                f"(data/vqa_v2.py, data/visualgenome.py) or set "
+                f"--data.synthetic true")
+    return ArrayDataset.load(path)

@@ -1,0 +1,120 @@
+"""Stage-2 VQA model (reference C8, ``model_vqa`` family).
+
+GloVe-embedded GRU question encoder -> single-glimpse spatial attention over
+the 14x14x2048 ResNet-101 grid -> gated fusion -> answer classifier whose
+logits are dot products against an *answer-embedding table*. That table is
+the transfer vehicle (the paper's core idea): its rows are initialized from
+the stage-1 (vlmap) word-embedding space / GloVe, which is what lets the
+model answer out-of-vocabulary answers (SURVEY.md section 0, C8, C12).
+
+Batch format: ``features`` [B, N, C] (N = grid cells), ``q_ids`` [B, T]
+int32 (<pad>=0), ``answer_id`` [B] int32 (train), ``answer_scores`` [B, A]
+f32 (eval). All shapes static.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqa_transfer_externaldata_tpu.ops.attention import spatial_attention
+from vqa_transfer_externaldata_tpu.ops.gru import GRUEncoder
+from vqa_transfer_externaldata_tpu.ops.layers import (
+    GatedTanh, WordEmbedding, l2_normalize)
+from vqa_transfer_externaldata_tpu.utils.vocab import PAD_ID, UNK_ID
+
+
+class VQAAttentionModel(nn.Module):
+    vocab_size: int
+    num_answers: int
+    word_dim: int = 300
+    rnn_dim: int = 512
+    fusion_dim: int = 1024
+    att_hidden: int = 512
+    answer_dim: int = 300
+    dropout: float = 0.5
+    dtype: Any = jnp.bfloat16
+    use_pallas: bool = True
+    normalize_v: bool = True
+    word_init: Optional[np.ndarray] = None  # [vocab, word_dim] GloVe
+    answer_init: Optional[np.ndarray] = None  # [answers, answer_dim]
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, q_ids: jnp.ndarray,
+                 *, train: bool = False) -> Dict[str, jnp.ndarray]:
+        dt = self.dtype
+        B, N, C = features.shape
+
+        # --- question encoder -------------------------------------------
+        mask = (q_ids != PAD_ID).astype(jnp.float32)
+        words = WordEmbedding(self.vocab_size, self.word_dim,
+                              init_matrix=self.word_init, dtype=dt,
+                              name="word_emb")(q_ids)
+        q = GRUEncoder(self.rnn_dim, dtype=dt, name="gru")(words, mask)
+
+        # --- single-glimpse spatial attention (fused Pallas kernel) -----
+        v = features.astype(dt)
+        if self.normalize_v:
+            v = l2_normalize(v)
+        qh = nn.Dense(self.att_hidden, dtype=dt, param_dtype=jnp.float32,
+                      name="att_q")(q)
+        wv = self.param("att_wv", nn.initializers.glorot_uniform(),
+                        (C, self.att_hidden), jnp.float32)
+        ws = self.param("att_ws", nn.initializers.normal(0.05),
+                        (self.att_hidden,), jnp.float32)
+        v_att, alpha = spatial_attention(v, qh, wv, ws,
+                                         use_pallas=self.use_pallas)
+
+        # --- fusion (elementwise product of gated projections) ----------
+        fq = GatedTanh(self.fusion_dim, dtype=dt, name="fuse_q")(q)
+        fv = GatedTanh(self.fusion_dim, dtype=dt,
+                       name="fuse_v")(v_att.astype(dt))
+        fused = fq * fv
+        fused = nn.Dropout(self.dropout, deterministic=not train)(fused)
+
+        # --- answer-embedding classifier (transfer vehicle) -------------
+        z = nn.Dense(self.answer_dim, dtype=dt, param_dtype=jnp.float32,
+                     name="ans_proj")(fused)
+        if self.answer_init is not None:
+            ans_init = lambda *_: jnp.asarray(self.answer_init, jnp.float32)
+        else:
+            ans_init = nn.initializers.normal(0.01)
+        ans_emb = self.param("answer_embedding", ans_init,
+                             (self.num_answers, self.answer_dim), jnp.float32)
+        # Cosine-style logits with a learnable temperature: keeps the scale
+        # of GloVe-initialized rows from dominating early training.
+        z = l2_normalize(z.astype(jnp.float32))
+        e = l2_normalize(ans_emb)
+        scale = self.param("logit_scale",
+                           nn.initializers.constant(10.0), (), jnp.float32)
+        bias = self.param("logit_bias", nn.initializers.zeros,
+                          (self.num_answers,), jnp.float32)
+        logits = jnp.dot(z, e.T, preferred_element_type=jnp.float32)
+        logits = logits * scale + bias
+        return {"logits": logits, "alpha": alpha}
+
+
+def vqa_loss(outputs: Dict[str, jnp.ndarray],
+             batch: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Dict]:
+    """Softmax CE on the target answer id; questions whose answer fell out
+    of the top-K vocab (<unk>) carry zero weight, matching the reference's
+    answer-in-vocab training filter (SURVEY.md C2/C8)."""
+    logits = outputs["logits"].astype(jnp.float32)
+    labels = batch["answer_id"]
+    weight = (labels != UNK_ID).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    denom = jnp.maximum(weight.sum(), 1.0)
+    loss = jnp.sum(nll * weight) / denom
+    pred = jnp.argmax(logits, axis=-1)
+    acc = jnp.sum((pred == labels).astype(jnp.float32) * weight) / denom
+    metrics = {"loss": loss, "accuracy": acc}
+    if "answer_scores" in batch:
+        rows = jnp.arange(pred.shape[0])
+        metrics["vqa_accuracy"] = jnp.mean(
+            batch["answer_scores"][rows, pred])
+    return loss, metrics

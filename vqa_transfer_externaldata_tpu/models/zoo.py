@@ -1,0 +1,89 @@
+"""Model registry (reference: ``--model`` string -> dynamic import of
+``model_*`` files, SURVEY.md section 1 "Model zoo"). Here it is an explicit
+registry mapping the model name in ``config.model.model`` to a builder, a
+batch->inputs adapter, and a loss — one uniform surface so the shared
+trainer/evaler work for every family (both stages)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vqa_transfer_externaldata_tpu.config import Config
+from vqa_transfer_externaldata_tpu.models.vlmap import VLMapModel, vlmap_loss
+from vqa_transfer_externaldata_tpu.models.vqa_attention import (
+    VQAAttentionModel, vqa_loss)
+from vqa_transfer_externaldata_tpu.models.vqa_baseline import (
+    VQABaselineModel, vqa_baseline_loss)
+from vqa_transfer_externaldata_tpu.ops.layers import dtype_of
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """module: flax module; inputs: batch -> positional args for __call__;
+    loss: (outputs, batch) -> (scalar, metrics dict)."""
+
+    module: Any
+    inputs: Callable[[Dict[str, jnp.ndarray]], Tuple]
+    loss: Callable[[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]],
+                   Tuple[jnp.ndarray, Dict]]
+    stage: str  # "vqa" | "vlmap"
+
+
+def build_model(cfg: Config,
+                word_init: Optional[np.ndarray] = None,
+                answer_init: Optional[np.ndarray] = None) -> ModelSpec:
+    m, d = cfg.model, cfg.data
+    dt = dtype_of(m.dtype)
+    name = m.model
+    if name == "vqa_attention":
+        module = VQAAttentionModel(
+            vocab_size=d.vocab_size, num_answers=d.num_answers,
+            word_dim=m.word_dim, rnn_dim=m.rnn_dim,
+            fusion_dim=m.fusion_dim, att_hidden=m.att_hidden,
+            answer_dim=m.answer_dim, dropout=m.dropout, dtype=dt,
+            use_pallas=m.use_pallas, word_init=word_init,
+            answer_init=answer_init)
+        return ModelSpec(module,
+                         lambda b: (b["features"], b["q_ids"]),
+                         vqa_loss, "vqa")
+    if name == "vqa_baseline":
+        module = VQABaselineModel(
+            vocab_size=d.vocab_size, num_answers=d.num_answers,
+            word_dim=m.word_dim, fusion_dim=m.fusion_dim,
+            dropout=m.dropout, dtype=dt, word_init=word_init)
+        return ModelSpec(module,
+                         lambda b: (b["pool5"], b["q_ids"]),
+                         vqa_baseline_loss, "vqa")
+    if name == "vlmap":
+        module = VLMapModel(
+            vocab_size=d.vocab_size, num_tasks=m.num_tasks,
+            feature_dim=d.pool5_dim, word_dim=m.word_dim,
+            task_dim=m.task_dim, dropout=m.dropout, dtype=dt,
+            word_init=word_init)
+        return ModelSpec(module,
+                         lambda b: (b["feature"], b["task"], b["candidates"]),
+                         vlmap_loss, "vlmap")
+    if name == "vqa_end2end":
+        # Raw-image path (BASELINE config 5): built lazily to keep the
+        # ResNet import out of the common path.
+        from vqa_transfer_externaldata_tpu.models.end2end import (
+            VQAEnd2EndModel, end2end_loss)
+
+        module = VQAEnd2EndModel(
+            vocab_size=d.vocab_size, num_answers=d.num_answers,
+            word_dim=m.word_dim, rnn_dim=m.rnn_dim,
+            fusion_dim=m.fusion_dim, att_hidden=m.att_hidden,
+            answer_dim=m.answer_dim, dropout=m.dropout, dtype=dt,
+            use_pallas=m.use_pallas, word_init=word_init,
+            answer_init=answer_init)
+        return ModelSpec(module,
+                         lambda b: (b["images"], b["q_ids"]),
+                         end2end_loss, "vqa")
+    raise KeyError(f"unknown model {name!r}; known: {sorted(MODELS)}")
+
+
+MODELS = ("vqa_attention", "vqa_baseline", "vlmap", "vqa_end2end")

@@ -1,0 +1,70 @@
+"""Evaler (reference C11): restore a checkpoint, run a full split, emit the
+official-format VQA result JSON (``[{"question_id": ..., "answer": ...}]``)
+plus accuracy — kept format-compatible so results drop into the official
+VQA evaluation server / eval code unchanged (SURVEY.md section 5)."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from vqa_transfer_externaldata_tpu.data.datasets import ArrayDataset
+from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer, TrainState
+from vqa_transfer_externaldata_tpu.utils.logging import log
+from vqa_transfer_externaldata_tpu.utils.vocab import Vocab
+
+
+def padded_batches(ds: ArrayDataset, batch_size: int
+                   ) -> Tuple[Iterator[Dict[str, np.ndarray]], int]:
+    """Deterministic single-epoch batches covering EVERY row: the final
+    partial batch is padded by repeating row 0 (static shapes for jit), and
+    the caller trims predictions back to ``len(ds)``."""
+    n = len(ds)
+    pad = (-n) % batch_size
+
+    def gen():
+        arrays = ds.arrays
+        if pad:
+            arrays = {k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+                      for k, v in arrays.items()}
+        for start in range(0, n + pad, batch_size):
+            yield {k: v[start:start + batch_size] for k, v in arrays.items()}
+
+    return gen(), n
+
+
+def evaluate_split(trainer: Trainer, state: TrainState, ds: ArrayDataset,
+                   *, answer_vocab: Optional[Vocab] = None,
+                   question_ids: Optional[np.ndarray] = None,
+                   results_path: Optional[str] = None
+                   ) -> Tuple[Dict[str, float], np.ndarray]:
+    """Evaluate every row of ``ds``; optionally dump official result JSON."""
+    batches, n = padded_batches(ds, trainer.cfg.train.batch_size)
+    metrics, preds = trainer.evaluate(state.params, batches)
+    preds = preds[:n]
+    # Exact split-level VQA accuracy from the precomputed score table
+    # (utils/metrics.answer_scores), without padded-row dilution.
+    if "answer_scores" in ds.arrays:
+        table = ds.arrays["answer_scores"]
+        metrics["vqa_accuracy"] = float(
+            table[np.arange(n), preds].mean())
+    if results_path is not None:
+        if answer_vocab is None:
+            raise ValueError("answer_vocab required to decode results")
+        qids = (question_ids if question_ids is not None
+                else ds.arrays.get("question_id",
+                                   np.arange(n, dtype=np.int64)))
+        results: List[dict] = [
+            {"question_id": int(qids[i]),
+             "answer": answer_vocab.tokens[int(preds[i])]}
+            for i in range(n)
+        ]
+        os.makedirs(os.path.dirname(os.path.abspath(results_path)),
+                    exist_ok=True)
+        with open(results_path, "w") as fh:
+            json.dump(results, fh)
+        log.info("wrote %d results to %s", n, results_path)
+    return metrics, preds

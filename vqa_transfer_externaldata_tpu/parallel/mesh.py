@@ -1,0 +1,52 @@
+"""Device mesh + sharding helpers (new in the rebuild).
+
+The reference is single-process single-GPU with no distributed layer at all
+(SURVEY.md section 2, parallelism table). The rebuild's scaling story is the
+TPU-native one: a ``jax.sharding.Mesh`` over the slice's ICI, batch arrays
+sharded on the ``data`` axis, params replicated, and XLA emitting the
+gradient ``psum`` from sharding propagation — no hand-written comm layer.
+A ``model`` axis exists in the mesh from day one so tensor-parallel variants
+can be added without re-laying-out checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vqa_transfer_externaldata_tpu.config import Config
+
+
+def create_mesh(cfg: Optional[Config] = None,
+                devices: Optional[Sequence[Any]] = None) -> Mesh:
+    cfg = cfg or Config()
+    devices = list(devices if devices is not None else jax.devices())
+    num_model = max(1, cfg.mesh.num_model)
+    num_data = cfg.mesh.num_data
+    if num_data <= 0:
+        num_data = len(devices) // num_model
+    use = num_data * num_model
+    assert use <= len(devices), (
+        f"mesh {num_data}x{num_model} needs {use} devices, "
+        f"have {len(devices)}")
+    arr = mesh_utils.create_device_mesh(
+        (num_data, num_model), devices=np.asarray(devices[:use]))
+    return Mesh(arr, (cfg.mesh.data_axis, cfg.mesh.model_axis))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim split across the data axis."""
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Host numpy batch -> device arrays sharded on the data axis."""
+    return jax.device_put(batch, batch_sharding(mesh))

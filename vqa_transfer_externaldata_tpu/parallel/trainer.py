@@ -1,0 +1,230 @@
+"""Shared sharded data-parallel trainer (reference C10, rebuilt TPU-first).
+
+One trainer serves both stages (BASELINE.json: "share one sharded
+data-parallel trainer"): the model family only contributes a flax module, a
+batch adapter, and a loss via its ModelSpec (models/zoo.py). Each step is a
+single jit-compiled program over the mesh — batch sharded on the ``data``
+axis, state replicated and donated, gradient all-reduce emitted by XLA from
+sharding propagation (the rebuild's replacement for the reference's
+``sess.run`` boundary, SURVEY.md section 3.6).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vqa_transfer_externaldata_tpu.config import Config
+from vqa_transfer_externaldata_tpu.models.zoo import ModelSpec
+from vqa_transfer_externaldata_tpu.parallel.mesh import (
+    batch_sharding, create_mesh, replicated)
+from vqa_transfer_externaldata_tpu.utils.checkpoint import CheckpointManager
+from vqa_transfer_externaldata_tpu.utils.logging import MetricWriter, Timer, log
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def make_lr_schedule(cfg: Config) -> optax.Schedule:
+    """Linear warmup into staircase exponential decay (reference C10's
+    Adam + decaying LR, with warmup added for large-batch stability)."""
+    t = cfg.train
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = jnp.minimum(1.0, (step + 1.0) / max(1, t.warmup_steps))
+        decay = t.lr_decay_rate ** jnp.floor(step / t.lr_decay_steps)
+        return t.learning_rate * warm * decay
+
+    return schedule
+
+
+def make_optimizer(cfg: Config) -> Tuple[optax.GradientTransformation,
+                                         optax.Schedule]:
+    t = cfg.train
+    lr = make_lr_schedule(cfg)
+    tx = optax.chain(
+        optax.clip_by_global_norm(t.grad_clip_norm),
+        optax.adamw(lr, b1=t.adam_beta1, b2=t.adam_beta2, eps=t.adam_eps,
+                    weight_decay=t.weight_decay),
+    )
+    return tx, lr
+
+
+class Trainer:
+    """Build once, then ``fit`` / ``evaluate`` / ``restore``."""
+
+    def __init__(self, cfg: Config, spec: ModelSpec,
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 train_dir: Optional[str] = None) -> None:
+        self.cfg = cfg
+        self.spec = spec
+        self.mesh = mesh if mesh is not None else create_mesh(cfg)
+        self.tx, self.lr_fn = make_optimizer(cfg)
+        self.train_dir = train_dir or cfg.train.train_dir
+        self.ckpt = CheckpointManager(
+            self.train_dir, keep=cfg.train.keep_checkpoints,
+            save_every=cfg.train.checkpoint_every)
+        self.metrics = MetricWriter(self.train_dir)
+        self._repl = replicated(self.mesh)
+        self._bshard = batch_sharding(self.mesh)
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, example_batch: Dict[str, np.ndarray],
+                   params: Optional[Any] = None) -> TrainState:
+        """Initialize (or adopt) params and opt state, replicated on mesh."""
+        host_batch = {k: np.asarray(v)[:1] for k, v in example_batch.items()}
+        rng = jax.random.PRNGKey(self.cfg.train.seed)
+
+        def init_fn():
+            p = self.spec.module.init(
+                {"params": rng},
+                *self.spec.inputs(host_batch), train=False)["params"]
+            return p
+
+        if params is None:
+            params = jax.jit(init_fn, out_shardings=self._repl)()
+        else:
+            params = jax.device_put(params, self._repl)
+
+        def opt_init(p):
+            return self.tx.init(p)
+
+        opt_state = jax.jit(opt_init, out_shardings=self._repl)(params)
+        return TrainState(
+            step=jax.device_put(jnp.zeros((), jnp.int32), self._repl),
+            params=params, opt_state=opt_state,
+            rng=jax.device_put(jax.random.PRNGKey(self.cfg.train.seed + 1),
+                               self._repl))
+
+    def restore(self, state: TrainState,
+                step: Optional[int] = None) -> TrainState:
+        return self.ckpt.restore(state, step)
+
+    # -- compiled steps --------------------------------------------------------
+
+    def _build_train_step(self) -> Callable:
+        spec, tx, lr_fn = self.spec, self.tx, self.lr_fn
+
+        def step_fn(state: TrainState,
+                    batch: Dict[str, jax.Array]):
+            rng, dropout_rng = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                outputs = spec.module.apply(
+                    {"params": params}, *spec.inputs(batch), train=True,
+                    rngs={"dropout": dropout_rng})
+                loss, metrics = spec.loss(outputs, batch)
+                return loss, metrics
+
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, metrics), grads = grad_fn(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = dict(metrics)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["lr"] = lr_fn(state.step)
+            new_state = TrainState(step=state.step + 1, params=params,
+                                   opt_state=opt_state, rng=rng)
+            return new_state, metrics
+
+        donate = (0,) if self.cfg.train.donate_state else ()
+        return jax.jit(
+            step_fn,
+            in_shardings=(self._repl, self._bshard),
+            out_shardings=(self._repl, self._repl),
+            donate_argnums=donate)
+
+    def _build_eval_step(self) -> Callable:
+        spec = self.spec
+
+        def eval_fn(params, batch):
+            outputs = spec.module.apply({"params": params},
+                                        *spec.inputs(batch), train=False)
+            _, metrics = spec.loss(outputs, batch)
+            preds = jnp.argmax(outputs["logits"].astype(jnp.float32), -1)
+            return preds, metrics
+
+        return jax.jit(eval_fn,
+                       in_shardings=(self._repl, self._bshard),
+                       out_shardings=(self._bshard, self._repl))
+
+    # -- loops -----------------------------------------------------------------
+
+    def fit(self, train_batches: Iterator[Dict[str, np.ndarray]],
+            state: TrainState,
+            eval_batches_fn: Optional[Callable[[], Iterator]] = None,
+            max_steps: Optional[int] = None) -> TrainState:
+        t = self.cfg.train
+        max_steps = max_steps if max_steps is not None else t.max_steps
+        timer = Timer()
+        pending: Dict[str, jax.Array] = {}
+        step = int(jax.device_get(state.step))
+        log.info("training from step %d to %d (global batch %d over %s)",
+                 step, max_steps, t.batch_size, self.mesh)
+        while step < max_steps:
+            batch = next(train_batches)
+            batch = jax.device_put(batch, self._bshard)
+            state, pending = self._train_step(state, batch)
+            step += 1
+            if step % t.log_every == 0 or step == max_steps:
+                m = {k: float(jax.device_get(v)) for k, v in pending.items()}
+                dt = timer.reset()
+                m["steps_per_sec"] = (
+                    t.log_every if step % t.log_every == 0
+                    else step % t.log_every) / max(dt, 1e-9)
+                m["questions_per_sec"] = m["steps_per_sec"] * t.batch_size
+                self.metrics.write(step, m, prefix="train")
+                log.info("step %6d  loss %.4f  acc %.4f  %.1f q/s", step,
+                         m.get("loss", float("nan")),
+                         m.get("accuracy", float("nan")),
+                         m["questions_per_sec"])
+            if eval_batches_fn is not None and step % t.eval_every == 0:
+                eval_metrics, _ = self.evaluate(state.params,
+                                                eval_batches_fn())
+                self.metrics.write(step, eval_metrics, prefix="val")
+                log.info("eval @ %d: %s", step,
+                         {k: round(v, 4) for k, v in eval_metrics.items()})
+            self.ckpt.save(step, state)
+        self.ckpt.wait()
+        final = int(jax.device_get(state.step))
+        if self.ckpt.latest_step() != final:
+            self.ckpt.save(final, state, force=True)
+            self.ckpt.wait()
+        return state
+
+    def evaluate(self, params: Any,
+                 batches: Iterator[Dict[str, np.ndarray]]
+                 ) -> Tuple[Dict[str, float], np.ndarray]:
+        """Full-split eval: mean metrics + concatenated predicted ids."""
+        sums: Dict[str, float] = {}
+        count = 0
+        preds = []
+        for batch in batches:
+            batch = jax.device_put(batch, self._bshard)
+            p, m = self._eval_step(params, batch)
+            preds.append(np.asarray(jax.device_get(p)))
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(jax.device_get(v))
+            count += 1
+        means = {k: v / max(count, 1) for k, v in sums.items()}
+        return means, (np.concatenate(preds) if preds
+                       else np.zeros((0,), np.int32))
+
+    def close(self) -> None:
+        self.ckpt.close()
+        self.metrics.close()

@@ -1,0 +1,139 @@
+"""Checkpointing + cross-stage transfer glue (reference C12).
+
+The reference uses ``tf.train.Saver`` periodic saves plus a *selective,
+variable-name-mapped* restore that pulls the stage-1 (vlmap) word-embedding
+space into the stage-2 (vqa) graph and initializes answer-embedding rows
+from it — the paper's core transfer mechanism (SURVEY.md sections 0/5).
+
+Rebuild: Orbax for save/auto-resume (async, keep-N), and ``transfer_init``
+as a first-class pytree-path-mapped operation: copy the shared word table,
+then build each answer-embedding row as the mean of its answer's word
+embeddings (multi-word answers average), leaving rows untouched when no
+word is known. Out-of-vocabulary answers thereby inherit semantics from the
+pretrained space — what enables the paper's OOV-answer evaluation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from vqa_transfer_externaldata_tpu.utils.logging import log
+from vqa_transfer_externaldata_tpu.utils.vocab import Vocab, tokenize
+
+
+class CheckpointManager:
+    """Thin Orbax wrapper: periodic async save, keep-N, auto-resume."""
+
+    def __init__(self, train_dir: str, *, keep: int = 5,
+                 save_every: int = 1000) -> None:
+        self.directory = os.path.abspath(os.path.join(train_dir, "ckpt"))
+        os.makedirs(self.directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, save_interval_steps=save_every,
+                enable_async_checkpointing=True),
+        )
+
+    def save(self, step: int, state: Any, *, force: bool = False) -> bool:
+        return self._mngr.save(step, args=ocp.args.StandardSave(state),
+                               force=force)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure/shardings of ``state_like``."""
+        step = self._mngr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                          state_like)
+        return self._mngr.restore(step,
+                                  args=ocp.args.StandardRestore(abstract))
+
+    def wait(self) -> None:
+        self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mngr.wait_until_finished()
+        self._mngr.close()
+
+
+def save_params(path: str, params: Any) -> None:
+    """One-shot standalone param save (e.g. the published vlmap artifact)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_params(path: str) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    out = ckptr.restore(os.path.abspath(path))
+    ckptr.close()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Transfer init (the paper's contribution, reference C12)
+# ---------------------------------------------------------------------------
+
+
+def answer_embedding_from_words(word_table: np.ndarray, word_vocab: Vocab,
+                                answer_vocab: Vocab) -> np.ndarray:
+    """[A, D] matrix: row a = mean word embedding of answer a's tokens.
+
+    Rows whose answer has no known word keep small random values (seeded by
+    the row index) so they remain trainable without colliding.
+    """
+    dim = word_table.shape[1]
+    out = np.zeros((len(answer_vocab), dim), np.float32)
+    for a, answer in enumerate(answer_vocab.tokens):
+        ids = [word_vocab.token_to_id[t] for t in tokenize(answer)
+               if t in word_vocab.token_to_id]
+        if ids:
+            out[a] = word_table[ids].mean(axis=0)
+        else:
+            out[a] = np.random.default_rng(a).normal(0, 0.01, size=dim)
+    return out
+
+
+def transfer_init(vqa_params: Dict, vlmap_params: Dict,
+                  word_vocab: Vocab, answer_vocab: Vocab) -> Dict:
+    """Map stage-1 params into a freshly-initialized stage-2 param tree.
+
+    - ``word_emb/embedding`` is copied verbatim (shared question/word space).
+    - ``answer_embedding`` rows are rebuilt from the pretrained word table
+      via :func:`answer_embedding_from_words`.
+    Everything else keeps its fresh initialization.
+    """
+    src_table = np.asarray(vlmap_params["word_emb"]["embedding"])
+    out = jax.tree_util.tree_map(lambda x: x, vqa_params)  # shallow copy
+    tgt_table = np.asarray(out["word_emb"]["embedding"])
+    if src_table.shape != tgt_table.shape:
+        raise ValueError(
+            f"word table shape mismatch: vlmap {src_table.shape} "
+            f"vs vqa {tgt_table.shape}")
+    out["word_emb"] = dict(out["word_emb"])
+    out["word_emb"]["embedding"] = src_table.copy()
+
+    ans = answer_embedding_from_words(src_table, word_vocab, answer_vocab)
+    tgt_ans = np.asarray(out["answer_embedding"])
+    if ans.shape[1] != tgt_ans.shape[1]:
+        raise ValueError(
+            f"answer embedding dim mismatch: words give {ans.shape[1]}, "
+            f"model has {tgt_ans.shape[1]} (set model.answer_dim = word_dim "
+            f"for transfer)")
+    rows = min(ans.shape[0], tgt_ans.shape[0])
+    new_ans = tgt_ans.copy()
+    new_ans[:rows] = ans[:rows]
+    out["answer_embedding"] = new_ans
+    log.info("transfer_init: word table %s copied, %d answer rows seeded",
+             src_table.shape, rows)
+    return out
