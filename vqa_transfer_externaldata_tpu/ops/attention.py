@@ -1,23 +1,31 @@
 """Single-glimpse spatial attention over the image feature grid.
 
 This is the reference's hot op (SURVEY.md C8): a 2-layer score MLP on the
-question vector tiled over the 14x14 ResNet grid, a softmax over the 196
+question vector tiled over the 14x14 ResNet grid, a softmax over the N=196
 cells, and an attention-weighted sum of the grid features:
 
-    h      = relu(v @ Wv + (q @ Wq + bq))        # [B, N, H], N = 196
+    h      = relu(v @ Wv + (q @ Wq + bq))        # [B, N, H]
     score  = h @ w_s                              # [B, N]
     alpha  = softmax_N(score)                     # [B, N]
     v_att  = sum_N alpha * v                      # [B, C]
 
 The question projection ``qh = q @ Wq + bq`` is tiny and computed by the
-caller; everything N-sized is fused into one Pallas kernel so the [B, N, C]
+caller; everything N-sized is fused into ONE Pallas kernel so the [B, N, C]
 grid is read from HBM exactly once per step (HBM bandwidth is the bound —
 SURVEY.md section 7 step 3). A scalar score bias is omitted: softmax is
 shift-invariant so it cannot affect any output.
 
-Gradients: the op carries a ``jax.custom_vjp`` whose backward pass recomputes
-the forward in plain jnp and differentiates that — the activations are cheap
-to rebuild and this keeps a single source of truth for the backward math.
+Kernel design (Mosaic requires block trailing dims divisible by (8, 128)):
+the grid dimension N is zero-padded to a multiple of the N-chunk size and
+processed as a *streaming online softmax* (flash-attention pattern): grid =
+(batch tiles, N chunks); running max / denominator / weighted-sum accumulator
+live in VMEM scratch; padded cells are masked to -inf before the max. This
+scales to arbitrarily large attention grids (e.g. higher-resolution feature
+maps) without ever holding more than one [TB, NB, C] tile of features.
+
+Gradients: ``jax.custom_vjp`` whose backward recomputes the forward in plain
+jnp and differentiates that — activations are cheap to rebuild and this keeps
+one source of truth for the backward math.
 
 ``spatial_attention_reference`` is the pure-jnp oracle used for unit tests
 and as the non-Pallas fallback.
@@ -32,6 +40,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
 
 
 def spatial_attention_reference(
@@ -58,88 +68,136 @@ def spatial_attention_reference(
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernel
+# Pallas streaming kernel
 # ---------------------------------------------------------------------------
 
 
-def _attention_kernel(v_ref, qh_ref, wv_ref, ws_ref, vatt_ref, alpha_ref):
-    TB, N, C = v_ref.shape
-    H = qh_ref.shape[-1]
-    v = v_ref[:]  # [TB, N, C]
-    dt = v.dtype
-    # HIGHEST: full f32 accumulation for f32 inputs (bf16 inputs — the prod
-    # path — natively accumulate f32 on the MXU, so this costs nothing).
-    hi = jax.lax.Precision.HIGHEST
-    # Score MLP hidden: one [TB*N, C] @ [C, H] MXU matmul, f32 accumulate.
-    h = jnp.dot(v.reshape(TB * N, C), wv_ref[:],
-                preferred_element_type=jnp.float32, precision=hi)
-    h = h.reshape(TB, N, H) + qh_ref[:].astype(jnp.float32)[:, None, :]
-    h = jnp.maximum(h, 0.0)
-    # Scores: [TB*N, H] @ [H, 1].
-    score = jnp.dot(h.reshape(TB * N, H).astype(dt), ws_ref[:],
-                    preferred_element_type=jnp.float32, precision=hi)
-    score = score.reshape(TB, N)
-    # Numerically-stable softmax over the N grid cells.
-    score = score - jnp.max(score, axis=1, keepdims=True)
-    expd = jnp.exp(score)
-    alpha = expd / jnp.sum(expd, axis=1, keepdims=True)  # [TB, N] f32
-    alpha_ref[:] = alpha
-    # Weighted sum over cells (VPU multiply + reduce; v stays in VMEM).
-    vatt_ref[:] = jnp.sum(alpha[:, :, None] * v.astype(jnp.float32), axis=1)
+def _make_kernel(n_valid: int, tb: int, nb: int):
+    def kernel(v_ref, qh_ref, wv_ref, ws_ref,
+               vatt_ref, alpha_ref, m_scr, d_scr, acc_scr):
+        j = pl.program_id(1)
+        last = pl.num_programs(1) - 1
+
+        @pl.when(j == 0)
+        def _():
+            m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+            d_scr[:] = jnp.zeros_like(d_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+            alpha_ref[:] = jnp.zeros_like(alpha_ref)
+
+        v = v_ref[:]  # [TB, NB, C]
+        dt = v.dtype
+        C = v.shape[-1]
+        H = qh_ref.shape[-1]
+
+        # Score MLP hidden: one [TB*NB, C] @ [C, H] MXU matmul (f32 acc).
+        # No explicit precision: Mosaic rejects HIGHEST in-kernel ("Bad lhs
+        # type"); preferred_element_type=f32 already gives MXU f32 accumulate.
+        h = jnp.dot(v.reshape(tb * nb, C), wv_ref[:],
+                    preferred_element_type=jnp.float32)
+        h = h.reshape(tb, nb, H) + qh_ref[:].astype(jnp.float32)[:, None, :]
+        h = jnp.maximum(h, 0.0)
+        # Scores: lane-reduce against the (row-broadcast) score vector.
+        ws_row = ws_ref[:][:1].astype(jnp.float32)  # [1, H]
+        s = jnp.sum(h * ws_row[None, :, :], axis=-1)  # [TB, NB] f32
+        # Mask padded grid cells. nb is a multiple of 128, so chunk offsets
+        # are lane-aligned (Mosaic requires this for the alpha slice write).
+        base = pl.multiple_of(j * nb, 128)
+        idx = j * nb + jax.lax.broadcasted_iota(jnp.int32, (tb, nb), 1)
+        s = jnp.where(idx < n_valid, s, _NEG_INF)
+
+        # Online softmax update (flash pattern).
+        m_prev = m_scr[:][:, :1]  # [TB, 1]
+        d_prev = d_scr[:][:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)  # [TB, 1]
+        p = jnp.exp(s - m_new)  # [TB, NB]
+        d_new = d_prev * corr + jnp.sum(p, axis=1, keepdims=True)
+        # Weighted-sum accumulator. Minor-dim insertion happens on the f32
+        # ``p`` (Mosaic only supports it for 32-bit types); the multiply
+        # promotes bf16 features to f32, accumulation is f32.
+        prod = p[:, :, None] * v.astype(jnp.float32)
+        acc_scr[:] = acc_scr[:] * corr + jnp.sum(prod, axis=1)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        d_scr[:] = jnp.broadcast_to(d_new, d_scr.shape)
+
+        # Progressive alpha: correct previously-written chunks, write p.
+        alpha_ref[:] = alpha_ref[:] * corr
+        alpha_ref[:, pl.ds(base, nb)] = p
+
+        @pl.when(j == last)
+        def _():
+            d = d_scr[:][:, :1]
+            vatt_ref[:] = acc_scr[:] / d
+            alpha_ref[:] = alpha_ref[:] / d
+
+    return kernel
 
 
-def _pick_block(b: int, target: int = 8) -> int:
-    for cand in range(min(target, b), 0, -1):
-        if b % cand == 0:
-            return cand
-    return 1
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_b"))
-def _attention_pallas_fwd(v, qh, wv, ws, *, interpret: bool, block_b: int):
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "block_b", "block_n"))
+def _attention_pallas_fwd(v, qh, wv, ws, *, interpret: bool,
+                          block_b: int = 8, block_n: int = 128):
     B, N, C = v.shape
     H = qh.shape[-1]
-    ws2 = ws.reshape(H, 1).astype(v.dtype)
+    tb, nb = block_b, block_n
+    Bp, Np = _round_up(B, tb), _round_up(N, nb)
+    vp = v if (Bp, Np) == (B, N) else jnp.pad(
+        v, ((0, Bp - B), (0, Np - N), (0, 0)))
+    qhp = qh if Bp == B else jnp.pad(qh, ((0, Bp - B), (0, 0)))
+
     wv = wv.astype(v.dtype)
-    qh = qh.astype(jnp.float32)
-    grid = (B // block_b,)
-    flops = 2 * B * N * (C * H + H + C)
-    return pl.pallas_call(
-        _attention_kernel,
-        grid=grid,
+    ws_rows = jnp.broadcast_to(ws.astype(v.dtype)[None, :], (8, H))
+
+    flops = 2 * Bp * Np * (C * H + H + C)
+    vatt, alpha = pl.pallas_call(
+        _make_kernel(N, tb, nb),
+        grid=(Bp // tb, Np // nb),
         in_specs=[
-            pl.BlockSpec((block_b, N, C), lambda i: (i, 0, 0),
+            pl.BlockSpec((tb, nb, C), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, H), lambda i: (i, 0),
+            pl.BlockSpec((tb, H), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, H), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, H), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_b, C), lambda i: (i, 0),
+            pl.BlockSpec((tb, C), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, N), lambda i: (i, 0),
+            pl.BlockSpec((tb, Np), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, N), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, C), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tb, 128), jnp.float32),  # running max
+            pltpu.VMEM((tb, 128), jnp.float32),  # running denominator
+            pltpu.VMEM((tb, C), jnp.float32),  # weighted-sum accumulator
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=v.size * v.dtype.itemsize + B * C * 4,
-            transcendentals=B * N,
+            bytes_accessed=vp.size * vp.dtype.itemsize + Bp * C * 4,
+            transcendentals=Bp * Np,
         ),
         interpret=interpret,
-    )(v, qh, wv, ws2)
+    )(vp, qhp, wv, ws_rows)
+    return vatt[:B], alpha[:B, :N]
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(interpret: bool, block_b: int):
+def _make_fused(interpret: bool, block_b: int, block_n: int):
     @jax.custom_vjp
     def fused(v, qh, wv, ws):
         out = _attention_pallas_fwd(v, qh, wv, ws, interpret=interpret,
-                                    block_b=block_b)
+                                    block_b=block_b, block_n=block_n)
         return tuple(out)
 
     def fwd(v, qh, wv, ws):
@@ -163,7 +221,8 @@ def spatial_attention(
     *,
     use_pallas: bool = True,
     interpret: bool | None = None,
-    block_b: int | None = None,
+    block_b: int = 8,
+    block_n: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatching entrypoint. ``interpret=None`` auto-selects interpreter
     mode off-TPU so tests exercise the same kernel code path on CPU."""
@@ -171,6 +230,7 @@ def spatial_attention(
         return spatial_attention_reference(v, qh, wv, w_score)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if block_b is None:
-        block_b = _pick_block(v.shape[0])
-    return _make_fused(interpret, block_b)(v, qh, wv, w_score)
+    if block_n is None:
+        # Lane alignment: alpha chunk writes require nb % 128 == 0.
+        block_n = 128
+    return _make_fused(interpret, block_b, block_n)(v, qh, wv, w_score)
