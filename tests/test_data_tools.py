@@ -1,0 +1,190 @@
+"""Offline data tools: VQA v2 + Visual Genome preprocessing, feature
+extraction, and the lazy feature join (reference C1/C2/C4 rebuild)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vqa_transfer_externaldata_tpu.cli.preprocess import main as preprocess
+from vqa_transfer_externaldata_tpu.utils.vocab import UNK_ID, Vocab
+
+
+@pytest.fixture()
+def vqa_json(tmp_path):
+    """Official-schema fixture: 8 questions over 3 images."""
+    questions = {"questions": [
+        {"question_id": 10 * i, "image_id": 100 + i % 3,
+         "question": q}
+        for i, q in enumerate([
+            "What color is the cat?", "Is the dog sleeping?",
+            "How many cats are there?", "What color is the dog?",
+            "Is the cat black?", "What is the dog doing?",
+            "What color is the wall?", "How many dogs are there?"])]}
+    annotations = {"annotations": [
+        {"question_id": 10 * i, "image_id": 100 + i % 3,
+         "multiple_choice_answer": mca,
+         "answers": [{"answer": mca}] * 8 + [{"answer": "maybe"}] * 2}
+        for i, mca in enumerate(
+            ["black", "yes", "two", "brown", "no", "sleeping",
+             "white", "one"])]}
+    qp = tmp_path / "questions.json"
+    ap = tmp_path / "annotations.json"
+    qp.write_text(json.dumps(questions))
+    ap.write_text(json.dumps(annotations))
+    return str(qp), str(ap)
+
+
+def test_vqa_v2_preprocess(vqa_json, tmp_path):
+    qp, ap = vqa_json
+    out = str(tmp_path / "out")
+    preprocess(["vqa_v2", "--out_dir", out,
+                "--train_questions", qp, "--train_annotations", ap,
+                "--val_questions", qp, "--val_annotations", ap,
+                "--top_k", "4", "--max_question_len", "8",
+                "--vocab_pad_to", "64"])
+    vocab = Vocab.load(os.path.join(out, "vocab.json"))
+    answers = Vocab.load(os.path.join(out, "answer_vocab.json"))
+    assert "cat" in vocab.token_to_id and "color" in vocab.token_to_id
+    assert len(answers) == 4 + 4  # top_k + specials
+
+    train = np.load(os.path.join(out, "vqa_train.npz"))
+    assert train["q_ids"].shape == (8, 8)
+    assert train["question_id"].tolist() == list(range(0, 80, 10))
+    # number words normalize to digits; 4 of 8 answers fall out of the
+    # top-4 vocab (all count 1 -> lexicographic tie-break: 1, 2, black,
+    # brown survive)
+    in_vocab = train["answer_id"] != UNK_ID
+    assert in_vocab.sum() == 4
+
+    val = np.load(os.path.join(out, "vqa_val.npz"))
+    assert "answer_scores" in val.files
+    # 8/10 annotators agree -> in-vocab rows score 1.0 at their answer id
+    row = val["answer_scores"][0]
+    assert row.max() == 1.0
+
+
+def test_vg_task_discovery_and_artifacts(tmp_path):
+    regions_json = [{"id": 1, "regions": [
+        {"region_id": i, "image_id": 1, "phrase": p,
+         "x": 0, "y": 0, "width": 10, "height": 10}
+        for i, p in enumerate([
+            "a black cat on the mat", "the white dog", "a red car",
+            "black dog running", "a white cat sleeping", "the blue car",
+        ])]}]
+    rp = tmp_path / "regions.json"
+    rp.write_text(json.dumps(regions_json))
+    vocab = Vocab.build(["black cat white dog red car blue mat running "
+                         "sleeping"])
+    vp = tmp_path / "vocab.json"
+    vocab.save(str(vp))
+    out = str(tmp_path / "vg")
+    preprocess(["visualgenome", "--out_dir", out,
+                "--region_descriptions", str(rp), "--vocab", str(vp),
+                "--num_tasks", "3", "--num_candidates", "4",
+                "--min_word_count", "1"])
+    train = np.load(os.path.join(out, "vlmap_train.npz"))
+    meta = json.load(open(os.path.join(out, "vlmap_meta.json")))
+    assert meta["num_words"] > 0
+    n, K = train["candidates"].shape
+    assert K == 4
+    # planted positive: candidates[label] == word
+    np.testing.assert_array_equal(
+        train["candidates"][np.arange(n), train["label"]], train["word"])
+    assert train["task"].max() < 3
+
+
+def test_extract_and_joined_dataset(tmp_path):
+    from PIL import Image
+
+    from vqa_transfer_externaldata_tpu.data.features import (
+        FeatureStore, JoinedDataset, extract_features)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    paths, ids = [], []
+    for i in range(3):
+        p = str(img_dir / f"COCO_test_{100 + i:012d}.jpg")
+        Image.fromarray(
+            np.full((40, 50, 3), 40 * i, np.uint8)).save(p)
+        paths.append(p)
+        ids.append(100 + i)
+
+    out = str(tmp_path / "feat.hdf5")
+    extract_features(paths, ids, out, batch_size=2, image_size=64)
+    store = FeatureStore(out)
+    assert store.grid.shape == (3, 2, 2, 2048)
+    assert store.index_of[101] == 1
+
+    arrays = {
+        "q_ids": np.zeros((5, 4), np.int32),
+        "answer_id": np.full((5,), 4, np.int32),
+        "image_index": np.array([0, 1, 2, 0, 1], np.int32),
+    }
+    ds = JoinedDataset(arrays, store)
+    batch = next(ds.batches(4, shuffle=False, epochs=1))
+    assert batch["features"].shape == (4, 4, 2048)
+    assert batch["pool5"].shape == (4, 2048)
+    # joined rows match direct gathers
+    direct = store.gather(arrays["image_index"][:4])
+    np.testing.assert_allclose(batch["features"], direct["features"])
+    store.close()
+
+
+def test_real_artifact_training_path(vqa_json, tmp_path):
+    """Full non-synthetic pipeline: preprocess -> extract -> train -> eval,
+    with the lazy feature join (the path real VQA v2 data takes)."""
+    from PIL import Image
+
+    from vqa_transfer_externaldata_tpu.cli.train import main as train_main
+    from vqa_transfer_externaldata_tpu.data.features import extract_features
+    from vqa_transfer_externaldata_tpu.data.vqa_v2 import preprocess_vqa_v2
+
+    qp, ap = vqa_json
+    out = str(tmp_path / "pre")
+    # feature store rows for image ids 100..102 -> index 0..2
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    paths, ids = [], [100, 101, 102]
+    for i in ids:
+        p = str(img_dir / f"img_{i}.jpg")
+        Image.fromarray(np.full((32, 32, 3), i % 255, np.uint8)).save(p)
+        paths.append(p)
+    feat_path = str(tmp_path / "feat.hdf5")
+    extract_features(paths, ids, feat_path, batch_size=2, image_size=64)
+
+    preprocess_vqa_v2(out, qp, ap, val_questions=qp, val_annotations=ap,
+                      top_k_answers=8, max_question_len=8, vocab_pad_to=64,
+                      image_id_to_index={100: 0, 101: 1, 102: 2})
+
+    train_dir = train_main([
+        "--data.dataset_dir", out, "--data.feature_path", feat_path,
+        "--data.vocab_path", os.path.join(out, "vocab.json"),
+        "--data.answer_vocab_path", os.path.join(out, "answer_vocab.json"),
+        "--data.vocab_size", "64", "--data.num_answers", "12",
+        "--data.grid_h", "2", "--data.grid_w", "2",
+        "--data.max_question_len", "8",
+        "--model.model", "vqa_attention", "--model.word_dim", "8",
+        "--model.rnn_dim", "8", "--model.fusion_dim", "16",
+        "--model.att_hidden", "8", "--model.answer_dim", "8",
+        "--model.dtype", "float32", "--model.dropout", "0.0",
+        "--train.batch_size", "8", "--train.max_steps", "3",
+        "--train.log_every", "1", "--train.eval_every", "10000",
+        "--train.checkpoint_every", "100",
+        "--train.train_dir", str(tmp_path / "run")])
+    assert os.path.exists(os.path.join(train_dir, "params_final"))
+
+
+def test_glove_cli(tmp_path):
+    vocab = Vocab.build(["cat dog"])
+    vp = tmp_path / "vocab.json"
+    vocab.save(str(vp))
+    gt = tmp_path / "glove.txt"
+    gt.write_text("cat " + " ".join(["1.5"] * 8) + "\n")
+    out = str(tmp_path / "emb.npz")
+    preprocess(["glove", "--out", out, "--glove_txt", str(gt),
+                "--vocab", str(vp), "--dim", "8", "--pad_to", "16"])
+    mat = np.load(out)["embedding"]
+    assert mat.shape == (16, 8)
+    assert np.all(mat[vocab.token_to_id["cat"]] == 1.5)

@@ -1,0 +1,71 @@
+"""Feature-extraction CLI (reference C4's offline extraction script):
+COCO/VG images (optionally region crops from the vlmap artifacts) ->
+HDF5 of 14x14x2048 grids + pool5.
+
+    python -m vqa_transfer_externaldata_tpu.cli.extract \
+        --image_dir /data/coco/train2014 --out features_train.hdf5 \
+        [--pattern "*.jpg"] [--batch_size 32] [--image_size 448] \
+        [--torch_checkpoint resnet101.pth]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import sys
+from typing import Optional, Sequence
+
+from vqa_transfer_externaldata_tpu.data.features import extract_features
+from vqa_transfer_externaldata_tpu.utils.logging import log
+
+
+def image_id_from_name(path: str) -> int:
+    """COCO/VG id = trailing integer of the stem (COCO_train2014_000000123)."""
+    stem = os.path.splitext(os.path.basename(path))[0]
+    m = re.search(r"(\d+)$", stem)
+    return int(m.group(1)) if m else abs(hash(stem)) % (1 << 62)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> str:
+    p = argparse.ArgumentParser("extract")
+    p.add_argument("--image_dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--pattern", default="*.jpg")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--image_size", type=int, default=448)
+    p.add_argument("--torch_checkpoint", default=None,
+                   help="torchvision-format resnet101 state_dict (.pth)")
+    args = p.parse_args(argv)
+
+    paths = sorted(glob.glob(os.path.join(args.image_dir, args.pattern)))
+    if not paths:
+        raise FileNotFoundError(
+            f"no images matching {args.pattern} under {args.image_dir}")
+    ids = [image_id_from_name(q) for q in paths]
+    log.info("extracting %d images from %s", len(paths), args.image_dir)
+
+    variables = None
+    if args.torch_checkpoint:
+        import torch
+
+        from vqa_transfer_externaldata_tpu.ops.resnet import (
+            convert_torch_state_dict)
+
+        sd = torch.load(args.torch_checkpoint, map_location="cpu",
+                        weights_only=True)
+        params, stats = convert_torch_state_dict(
+            {k: v.numpy() for k, v in sd.items()})
+        variables = {"params": params, "batch_stats": stats}
+        log.info("loaded pretrained ResNet-101 from %s",
+                 args.torch_checkpoint)
+
+    return extract_features(paths, ids, args.out,
+                            batch_size=args.batch_size,
+                            image_size=args.image_size,
+                            variables=variables)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

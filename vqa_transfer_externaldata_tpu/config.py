@@ -33,6 +33,7 @@ class DataConfig:
     glove_path: str = ""  # filtered GloVe matrix (npz) or raw .txt
     # Static shapes (XLA: everything fixed at trace time).
     max_question_len: int = 26  # reference pads questions to a fixed length
+    image_size: int = 448  # raw-image path (end2end model); 448/32 -> 14
     grid_h: int = 14
     grid_w: int = 14
     feature_dim: int = 2048  # ResNet-101 conv5 channels

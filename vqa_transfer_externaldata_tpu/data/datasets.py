@@ -39,6 +39,10 @@ class ArrayDataset:
                 seed: int = 0, epochs: Optional[int] = None,
                 drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
         """Yield fixed-shape batches; infinite if ``epochs`` is None."""
+        if drop_last and self.size < batch_size:
+            raise ValueError(
+                f"dataset has {self.size} rows < batch_size {batch_size} "
+                f"with drop_last: no batch can ever be produced")
         epoch = 0
         while epochs is None or epoch < epochs:
             if shuffle:
@@ -93,7 +97,10 @@ def synthetic_vqa(cfg: Config, *, size: Optional[int] = None,
 
     pool5 = rng.normal(size=(n, d.pool5_dim)).astype(np.float32)
     arrays: Dict[str, np.ndarray] = {"q_ids": q_ids, "pool5": pool5}
-    if with_grid:
+    if cfg.model.model == "vqa_end2end":
+        arrays["images"] = rng.integers(
+            0, 256, size=(n, d.image_size, d.image_size, 3)).astype(np.uint8)
+    elif with_grid:
         grid = rng.normal(size=(n, N, d.feature_dim)).astype(np.float32)
         grid += pool5[:, None, : d.feature_dim]  # grid agrees with pool5
         arrays["features"] = grid.astype(np.float32)
@@ -160,7 +167,12 @@ def synthetic_vocabs(cfg: Config):
 def load_dataset(cfg: Config, split: str, stage: str = "vqa",
                  **synth_kw) -> ArrayDataset:
     """Load the preprocessed artifact for ``split`` (reference C5/C7), or the
-    synthetic equivalent when ``config.data.synthetic`` is set."""
+    synthetic equivalent when ``config.data.synthetic`` is set.
+
+    When ``config.data.feature_path`` points at an extracted feature file
+    (cli.extract output), the question/region table is lazily joined against
+    it at batch time (features stay deduplicated on disk, reference-style).
+    """
     if cfg.data.synthetic:
         seed = {"train": 0, "val": 1, "test": 2}.get(split, 3)
         if stage == "vlmap":
@@ -178,4 +190,15 @@ def load_dataset(cfg: Config, split: str, stage: str = "vqa",
                 f"{cfg.data.dataset_dir}; run the data tools "
                 f"(data/vqa_v2.py, data/visualgenome.py) or set "
                 f"--data.synthetic true")
-    return ArrayDataset.load(path)
+    ds = ArrayDataset.load(path)
+    if cfg.data.feature_path:
+        from vqa_transfer_externaldata_tpu.data.features import (
+            FeatureStore, JoinedDataset)
+
+        store = FeatureStore(cfg.data.feature_path)
+        if stage == "vlmap":
+            return JoinedDataset(ds.arrays, store, index_key="region_index",
+                                 feature_keys=("feature",))
+        return JoinedDataset(ds.arrays, store, index_key="image_index",
+                             feature_keys=("features", "pool5"))
+    return ds

@@ -1,0 +1,185 @@
+"""Image-feature extraction + feature store (reference C4: offline
+ResNet-101 over COCO/VG JPEGs -> HDF5 of 14x14x2048 grids + pool5 —
+SURVEY.md section 3.4).
+
+The extractor is a jit-compiled ResNet forward (bf16, on-TPU resize +
+normalize); JPEG decode and region cropping stay on host (PIL). Grids are
+stored float16 — they are consumed in bfloat16, so storage at half width
+halves the read bandwidth of the whole training pipeline.
+
+``FeatureStore`` serves gathered rows at batch time; ``JoinedDataset``
+wraps the question-level arrays (which carry ``image_index``/
+``region_index``) and materializes the ``features``/``pool5``/``feature``
+batch keys on the fly, so question tables and image features stay
+deduplicated on disk exactly like the reference's per-image HDF5 layout.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from vqa_transfer_externaldata_tpu.data.datasets import ArrayDataset
+from vqa_transfer_externaldata_tpu.utils.logging import log
+
+
+class FeatureStore:
+    """Random-access [M, ...] feature arrays from .npz or .hdf5."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        if path.endswith((".h5", ".hdf5")):
+            import h5py
+
+            self._file = h5py.File(path, "r")
+            self.grid = self._file["grid"]
+            self.pool5 = self._file["pool5"]
+            self.image_ids = np.asarray(self._file["image_ids"])
+        else:
+            data = np.load(path)
+            self._file = None
+            self.grid = data["grid"]
+            self.pool5 = data["pool5"]
+            self.image_ids = data["image_ids"]
+        self.index_of = {int(i): k for k, i in enumerate(self.image_ids)}
+
+    def gather(self, indices: np.ndarray, *, flatten_grid: bool = True
+               ) -> Dict[str, np.ndarray]:
+        if self._file is not None:
+            # h5py fancy indexing requires sorted unique indices.
+            uniq, inverse = np.unique(indices, return_inverse=True)
+            grid = np.asarray(self.grid[uniq])[inverse]
+            pool5 = np.asarray(self.pool5[uniq])[inverse]
+        else:
+            grid = self.grid[indices]
+            pool5 = self.pool5[indices]
+        grid = grid.astype(np.float32)
+        if flatten_grid and grid.ndim == 4:
+            b, h, w, c = grid.shape
+            grid = grid.reshape(b, h * w, c)
+        return {"features": grid, "pool5": pool5.astype(np.float32)}
+
+    def close(self) -> None:
+        if self._file is not None:
+            self._file.close()
+
+
+class JoinedDataset(ArrayDataset):
+    """Question/region table + lazy feature join (reference C5/C7 pattern)."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray], store: FeatureStore,
+                 index_key: str = "image_index",
+                 feature_keys: Sequence[str] = ("features", "pool5")) -> None:
+        super().__init__(arrays)
+        self.store = store
+        self.index_key = index_key
+        self.feature_keys = tuple(feature_keys)
+
+    def batches(self, batch_size: int, **kw) -> Iterator[Dict[str, np.ndarray]]:
+        for batch in super().batches(batch_size, **kw):
+            feats = self.store.gather(batch[self.index_key])
+            for key in self.feature_keys:
+                if key == "feature":  # vlmap: region pool5 vector
+                    batch["feature"] = feats["pool5"]
+                else:
+                    batch[key] = feats[key]
+            yield batch
+
+
+# ---------------------------------------------------------------------------
+# Extraction driver
+# ---------------------------------------------------------------------------
+
+
+def _load_image(path: str, box: Optional[Sequence[int]] = None) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        if box is not None:
+            x, y, w, h = box
+            im = im.crop((x, y, x + max(1, w), y + max(1, h)))
+        return np.asarray(im, np.uint8)
+
+
+def extract_features(
+    image_paths: Sequence[str],
+    image_ids: Sequence[int],
+    out_path: str,
+    *,
+    boxes: Optional[Sequence[Optional[Sequence[int]]]] = None,
+    batch_size: int = 32,
+    image_size: int = 448,
+    variables=None,
+    dtype: str = "bfloat16",
+) -> str:
+    """Run the (jit) ResNet-101 extractor over images/crops -> feature file.
+
+    ``variables``: ResNet flax variables ({"params", "batch_stats"}); random
+    init when omitted (useful only for pipeline tests — real runs should
+    convert a pretrained torchvision/slim checkpoint via
+    ops.resnet.convert_torch_state_dict).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_transfer_externaldata_tpu.ops.layers import dtype_of
+    from vqa_transfer_externaldata_tpu.ops.resnet import (
+        ResNetV1, preprocess_images)
+
+    model = ResNetV1(dtype=dtype_of(dtype))
+    if variables is None:
+        log.warning("extract_features: RANDOM ResNet weights (tests only)")
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, image_size, image_size, 3), jnp.float32),
+            train=False)
+
+    @jax.jit
+    def forward(images_u8):
+        out = model.apply(variables, preprocess_images(images_u8,
+                                                       image_size),
+                          train=False)
+        return out["grid"].astype(jnp.float16), out["pool5"]
+
+    n = len(image_paths)
+    boxes = boxes if boxes is not None else [None] * n
+    g = image_size // 32
+
+    import h5py
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with h5py.File(out_path, "w") as f:
+        d_grid = f.create_dataset("grid", (n, g, g, 2048), dtype="f2",
+                                  chunks=(1, g, g, 2048))
+        d_pool = f.create_dataset("pool5", (n, 2048), dtype="f4")
+        f.create_dataset("image_ids", data=np.asarray(image_ids, np.int64))
+        for start in range(0, n, batch_size):
+            idx = range(start, min(start + batch_size, n))
+            imgs = np.stack([
+                _resize_host(_load_image(image_paths[i], boxes[i]),
+                             image_size) for i in idx])
+            pad = batch_size - imgs.shape[0]
+            if pad:  # static shapes for jit
+                imgs = np.concatenate([imgs, np.repeat(imgs[:1], pad, 0)])
+            grid, pool5 = forward(jnp.asarray(imgs))
+            grid = np.asarray(jax.device_get(grid))[:len(idx)]
+            pool5 = np.asarray(jax.device_get(pool5))[:len(idx)]
+            d_grid[idx.start:idx.stop] = grid
+            d_pool[idx.start:idx.stop] = pool5
+            if (start // batch_size) % 50 == 0:
+                log.info("extracted %d/%d", idx.stop, n)
+    log.info("features written to %s", out_path)
+    return out_path
+
+
+def _resize_host(img: np.ndarray, size: int) -> np.ndarray:
+    """Host-side resize to the static extractor input size (PIL bilinear)."""
+    from PIL import Image
+
+    if img.shape[0] == size and img.shape[1] == size:
+        return img
+    return np.asarray(
+        Image.fromarray(img).resize((size, size), Image.BILINEAR), np.uint8)

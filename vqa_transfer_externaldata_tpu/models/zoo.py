@@ -78,8 +78,8 @@ def build_model(cfg: Config,
             word_dim=m.word_dim, rnn_dim=m.rnn_dim,
             fusion_dim=m.fusion_dim, att_hidden=m.att_hidden,
             answer_dim=m.answer_dim, dropout=m.dropout, dtype=dt,
-            use_pallas=m.use_pallas, word_init=word_init,
-            answer_init=answer_init)
+            use_pallas=m.use_pallas, image_size=d.image_size,
+            word_init=word_init, answer_init=answer_init)
         return ModelSpec(module,
                          lambda b: (b["images"], b["q_ids"]),
                          end2end_loss, "vqa")

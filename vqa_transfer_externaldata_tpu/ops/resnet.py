@@ -1,0 +1,151 @@
+"""ResNet-101 v1 image backbone (reference C4: tf-slim ``resnet_v1_101``
+applied offline to COCO/Visual Genome JPEGs, emitting the 14x14x2048 conv5
+grid + pool5 vector consumed by every model — SURVEY.md sections 2/3.4).
+
+TPU-first build: bottleneck blocks with the stride on the 3x3 conv (the
+tf-slim/v1.5 convention, so public checkpoints convert layer-for-layer),
+bf16 compute with f32 params/BN stats, NHWC layout (XLA TPU native), and
+inference-mode BatchNorm by default — the reference always runs the
+extractor frozen, which also keeps the param tree free of mutable
+collections. 448x448 inputs -> output stride 32 -> 14x14 grid.
+
+``convert_torch_state_dict`` maps a torchvision-format ``resnet101``
+state dict onto this module's param tree for checkpoint-fidelity work.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+RESNET101_STAGES = (3, 4, 23, 3)
+# tf-slim v1 preprocessing: RGB mean subtraction, no scaling.
+RGB_MEAN = (123.68, 116.779, 103.939)
+
+
+class Bottleneck(nn.Module):
+    features: int  # bottleneck width; output is 4x
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        # Explicit symmetric padding (k//2): matches torch / tf-slim
+        # ``conv2d_same`` for strided convs, where flax "SAME" pads
+        # asymmetrically and shifts the grid.
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            name=name)
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name)
+
+        residual = x
+        out = nn.relu(bn("bn1")(conv(self.features, 1, 1, "conv1")(x)))
+        out = nn.relu(bn("bn2")(conv(self.features, 3, self.stride,
+                                     "conv2")(out)))
+        out = bn("bn3")(conv(4 * self.features, 1, 1, "conv3")(out))
+        if residual.shape[-1] != out.shape[-1] or self.stride != 1:
+            residual = bn("bn_proj")(conv(4 * self.features, 1, self.stride,
+                                          "conv_proj")(x))
+        return nn.relu(out + residual)
+
+
+class ResNetV1(nn.Module):
+    """Returns {"grid": [B, H/32, W/32, 2048], "pool5": [B, 2048]}."""
+
+    stage_sizes: Sequence[int] = RESNET101_STAGES
+    width: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 *, train: bool = False) -> Dict[str, jnp.ndarray]:
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                    padding=[(3, 3), (3, 3)], use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)])
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            for block in range(n_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = Bottleneck(self.width * (2 ** stage), stride=stride,
+                               dtype=self.dtype,
+                               name=f"layer{stage + 1}_{block}")(
+                                   x, train=train)
+        grid = x  # [B, h, w, 2048]
+        pool5 = jnp.mean(grid.astype(jnp.float32), axis=(1, 2))
+        return {"grid": grid, "pool5": pool5}
+
+
+def preprocess_images(images_uint8: jnp.ndarray,
+                      size: int = 448) -> jnp.ndarray:
+    """On-device resize + tf-slim v1 normalization (jit-compatible).
+
+    ``images_uint8``: [B, H, W, 3] uint8 RGB -> [B, size, size, 3] f32.
+    """
+    import jax
+
+    x = images_uint8.astype(jnp.float32)
+    if x.shape[1] != size or x.shape[2] != size:
+        x = jax.image.resize(x, (x.shape[0], size, size, 3),
+                             method="bilinear", antialias=True)
+    return x - jnp.asarray(RGB_MEAN, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# torchvision-format weight conversion (checkpoint fidelity, SURVEY.md §7)
+# ---------------------------------------------------------------------------
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    # torch OIHW -> flax HWIO
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def convert_torch_state_dict(sd: Dict[str, np.ndarray],
+                             stage_sizes: Sequence[int] = RESNET101_STAGES,
+                             ) -> Tuple[Dict, Dict]:
+    """torchvision ``resnet101().state_dict()`` -> (params, batch_stats)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_bn(dst_p, dst_s, src):
+        dst_p["scale"] = sd[f"{src}.weight"]
+        dst_p["bias"] = sd[f"{src}.bias"]
+        dst_s["mean"] = sd[f"{src}.running_mean"]
+        dst_s["var"] = sd[f"{src}.running_var"]
+
+    params["conv1"] = {"kernel": _conv(sd["conv1.weight"])}
+    params["bn1"], stats["bn1"] = {}, {}
+    put_bn(params["bn1"], stats["bn1"], "bn1")
+
+    for stage, n_blocks in enumerate(stage_sizes):
+        for block in range(n_blocks):
+            name = f"layer{stage + 1}_{block}"
+            src = f"layer{stage + 1}.{block}"
+            p: Dict[str, Any] = {}
+            s: Dict[str, Any] = {}
+            for i in (1, 2, 3):
+                p[f"conv{i}"] = {"kernel": _conv(sd[f"{src}.conv{i}.weight"])}
+                p[f"bn{i}"], s[f"bn{i}"] = {}, {}
+                put_bn(p[f"bn{i}"], s[f"bn{i}"], f"{src}.bn{i}")
+            if f"{src}.downsample.0.weight" in sd:
+                p["conv_proj"] = {
+                    "kernel": _conv(sd[f"{src}.downsample.0.weight"])}
+                p["bn_proj"], s["bn_proj"] = {}, {}
+                put_bn(p["bn_proj"], s["bn_proj"], f"{src}.downsample.1")
+            params[name] = p
+            stats[name] = s
+    return params, stats

@@ -43,7 +43,7 @@ def evaluate_split(trainer: Trainer, state: TrainState, ds: ArrayDataset,
                    ) -> Tuple[Dict[str, float], np.ndarray]:
     """Evaluate every row of ``ds``; optionally dump official result JSON."""
     batches, n = padded_batches(ds, trainer.cfg.train.batch_size)
-    metrics, preds = trainer.evaluate(state.params, batches)
+    metrics, preds = trainer.evaluate(state, batches)
     preds = preds[:n]
     # Exact split-level VQA accuracy from the precomputed score table
     # (utils/metrics.answer_scores), without padded-row dilution.

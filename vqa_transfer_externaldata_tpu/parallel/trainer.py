@@ -33,6 +33,9 @@ class TrainState(flax.struct.PyTreeNode):
     params: Any
     opt_state: Any
     rng: jax.Array
+    # Non-trainable variable collections (e.g. frozen BatchNorm stats for
+    # the raw-image backbone); empty dict for the precomputed-feature models.
+    extra_vars: Any = flax.struct.field(default_factory=dict)
 
 
 def make_lr_schedule(cfg: Config) -> optax.Schedule:
@@ -70,6 +73,11 @@ class Trainer:
         self.cfg = cfg
         self.spec = spec
         self.mesh = mesh if mesh is not None else create_mesh(cfg)
+        n_data = self.mesh.shape[self.mesh.axis_names[0]]
+        if cfg.train.batch_size % n_data:
+            raise ValueError(
+                f"global batch_size={cfg.train.batch_size} must be divisible "
+                f"by the data-axis size {n_data} of {self.mesh}")
         self.tx, self.lr_fn = make_optimizer(cfg)
         self.train_dir = train_dir or cfg.train.train_dir
         self.ckpt = CheckpointManager(
@@ -90,14 +98,14 @@ class Trainer:
         rng = jax.random.PRNGKey(self.cfg.train.seed)
 
         def init_fn():
-            p = self.spec.module.init(
-                {"params": rng},
-                *self.spec.inputs(host_batch), train=False)["params"]
-            return p
+            variables = dict(self.spec.module.init(
+                {"params": rng}, *self.spec.inputs(host_batch), train=False))
+            return variables.pop("params"), variables
 
         if params is None:
-            params = jax.jit(init_fn, out_shardings=self._repl)()
+            params, extra_vars = jax.jit(init_fn, out_shardings=self._repl)()
         else:
+            _, extra_vars = jax.jit(init_fn, out_shardings=self._repl)()
             params = jax.device_put(params, self._repl)
 
         def opt_init(p):
@@ -108,7 +116,8 @@ class Trainer:
             step=jax.device_put(jnp.zeros((), jnp.int32), self._repl),
             params=params, opt_state=opt_state,
             rng=jax.device_put(jax.random.PRNGKey(self.cfg.train.seed + 1),
-                               self._repl))
+                               self._repl),
+            extra_vars=extra_vars)
 
     def restore(self, state: TrainState,
                 step: Optional[int] = None) -> TrainState:
@@ -125,7 +134,8 @@ class Trainer:
 
             def loss_fn(params):
                 outputs = spec.module.apply(
-                    {"params": params}, *spec.inputs(batch), train=True,
+                    {"params": params, **state.extra_vars},
+                    *spec.inputs(batch), train=True,
                     rngs={"dropout": dropout_rng})
                 loss, metrics = spec.loss(outputs, batch)
                 return loss, metrics
@@ -139,7 +149,8 @@ class Trainer:
             metrics["grad_norm"] = optax.global_norm(grads)
             metrics["lr"] = lr_fn(state.step)
             new_state = TrainState(step=state.step + 1, params=params,
-                                   opt_state=opt_state, rng=rng)
+                                   opt_state=opt_state, rng=rng,
+                                   extra_vars=state.extra_vars)
             return new_state, metrics
 
         donate = (0,) if self.cfg.train.donate_state else ()
@@ -152,15 +163,15 @@ class Trainer:
     def _build_eval_step(self) -> Callable:
         spec = self.spec
 
-        def eval_fn(params, batch):
-            outputs = spec.module.apply({"params": params},
+        def eval_fn(params, extra_vars, batch):
+            outputs = spec.module.apply({"params": params, **extra_vars},
                                         *spec.inputs(batch), train=False)
             _, metrics = spec.loss(outputs, batch)
             preds = jnp.argmax(outputs["logits"].astype(jnp.float32), -1)
             return preds, metrics
 
         return jax.jit(eval_fn,
-                       in_shardings=(self._repl, self._bshard),
+                       in_shardings=(self._repl, self._repl, self._bshard),
                        out_shardings=(self._bshard, self._repl))
 
     # -- loops -----------------------------------------------------------------
@@ -194,8 +205,7 @@ class Trainer:
                          m.get("accuracy", float("nan")),
                          m["questions_per_sec"])
             if eval_batches_fn is not None and step % t.eval_every == 0:
-                eval_metrics, _ = self.evaluate(state.params,
-                                                eval_batches_fn())
+                eval_metrics, _ = self.evaluate(state, eval_batches_fn())
                 self.metrics.write(step, eval_metrics, prefix="val")
                 log.info("eval @ %d: %s", step,
                          {k: round(v, 4) for k, v in eval_metrics.items()})
@@ -207,7 +217,7 @@ class Trainer:
             self.ckpt.wait()
         return state
 
-    def evaluate(self, params: Any,
+    def evaluate(self, state: TrainState,
                  batches: Iterator[Dict[str, np.ndarray]]
                  ) -> Tuple[Dict[str, float], np.ndarray]:
         """Full-split eval: mean metrics + concatenated predicted ids."""
@@ -216,7 +226,7 @@ class Trainer:
         preds = []
         for batch in batches:
             batch = jax.device_put(batch, self._bshard)
-            p, m = self._eval_step(params, batch)
+            p, m = self._eval_step(state.params, state.extra_vars, batch)
             preds.append(np.asarray(jax.device_get(p)))
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + float(jax.device_get(v))
