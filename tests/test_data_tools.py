@@ -176,6 +176,28 @@ def test_real_artifact_training_path(vqa_json, tmp_path):
     assert os.path.exists(os.path.join(train_dir, "params_final"))
 
 
+def test_answer_holdout_oov_protocol(vqa_json, tmp_path):
+    """Paper's OOV protocol: held-out answers become <unk> in training
+    targets (masked from the loss) but keep their eval score rows."""
+    from vqa_transfer_externaldata_tpu.data.vqa_v2 import preprocess_vqa_v2
+
+    qp, ap = vqa_json
+    out = str(tmp_path / "out")
+    preprocess_vqa_v2(out, qp, ap, val_questions=qp, val_annotations=ap,
+                      top_k_answers=8, max_question_len=8,
+                      answer_holdout_fraction=0.5, holdout_seed=0)
+    oov = json.load(open(os.path.join(out, "oov_split.json")))["oov_ids"]
+    assert len(oov) == 4  # half of 8 answers
+    train = np.load(os.path.join(out, "vqa_train.npz"))
+    val = np.load(os.path.join(out, "vqa_val.npz"))
+    # training rows whose (val-visible) answer is held out were masked
+    held_rows = np.isin(val["answer_id"], oov)
+    assert held_rows.any()
+    assert np.all(train["answer_id"][held_rows] == UNK_ID)
+    # eval scores untouched: held-out answers still scoreable
+    assert val["answer_scores"][held_rows].max() == 1.0
+
+
 def test_glove_cli(tmp_path):
     vocab = Vocab.build(["cat dog"])
     vp = tmp_path / "vocab.json"

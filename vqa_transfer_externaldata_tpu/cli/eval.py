@@ -59,9 +59,17 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     if results_path is None and spec.stage == "vqa":
         results_path = os.path.join(
             train_dir, f"results_{eargs.eval_split}.json")
+    oov_ids = None
+    oov_path = os.path.join(cfg.data.dataset_dir, "oov_split.json")
+    if os.path.exists(oov_path):
+        import numpy as np
+
+        with open(oov_path) as fh:
+            oov_ids = np.asarray(json.load(fh)["oov_ids"], np.int32)
     metrics, _ = evaluate_split(trainer, state, ds,
                                 answer_vocab=answer_vocab,
-                                results_path=results_path)
+                                results_path=results_path,
+                                oov_answer_ids=oov_ids)
     print(json.dumps({"split": eargs.eval_split,
                       "step": int(jax.device_get(state.step)),
                       **{k: round(float(v), 6) for k, v in metrics.items()}}))

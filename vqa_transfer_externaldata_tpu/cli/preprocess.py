@@ -46,6 +46,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     pv.add_argument("--top_k", type=int, default=2000)
     pv.add_argument("--max_question_len", type=int, default=26)
     pv.add_argument("--vocab_pad_to", type=int, default=8192)
+    pv.add_argument("--answer_holdout_fraction", type=float, default=0.0,
+                    help="fraction of answers held out of training "
+                         "(the paper's OOV-answer protocol)")
+    pv.add_argument("--holdout_seed", type=int, default=0)
 
     pg = sub.add_parser("visualgenome")
     pg.add_argument("--out_dir", required=True)
@@ -74,7 +78,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             test_questions=args.test_questions,
             top_k_answers=args.top_k,
             max_question_len=args.max_question_len,
-            vocab_pad_to=args.vocab_pad_to)
+            vocab_pad_to=args.vocab_pad_to,
+            answer_holdout_fraction=args.answer_holdout_fraction,
+            holdout_seed=args.holdout_seed)
     elif args.tool == "visualgenome":
         from vqa_transfer_externaldata_tpu.data.visualgenome import (
             build_vlmap_artifacts, load_region_descriptions)

@@ -86,6 +86,11 @@ class TrainConfig:
     seed: int = 123
     train_dir: str = "train_dir"
     resume: bool = True  # auto-resume from latest checkpoint in train_dir
+    # jax.profiler trace: capture steps [profile_start, profile_start +
+    # profile_steps) into <train_dir>/profile (0 disables). View with
+    # TensorBoard or Perfetto (SURVEY.md section 5).
+    profile_start: int = 10
+    profile_steps: int = 0
     # Transfer (stage-2) init: path to a stage-1 (vlmap) checkpoint whose
     # word/answer embedding space seeds the answer classifier (reference C12).
     pretrained_param_path: str = ""

@@ -92,8 +92,18 @@ def preprocess_vqa_v2(
     max_question_len: int = 26,
     vocab_pad_to: Optional[int] = None,
     image_id_to_index: Optional[Dict[int, int]] = None,
+    answer_holdout_fraction: float = 0.0,
+    holdout_seed: int = 0,
 ) -> Tuple[Vocab, Vocab]:
-    """Full preprocessing pipeline; returns (word_vocab, answer_vocab)."""
+    """Full preprocessing pipeline; returns (word_vocab, answer_vocab).
+
+    ``answer_holdout_fraction`` > 0 reproduces the paper's out-of-vocabulary
+    answer protocol: that fraction of the answer vocab is deterministically
+    held out of *training* (those training rows get <unk> targets, which the
+    loss masks), while eval still scores them — measuring how well the
+    pretrained answer-embedding space covers answers never fine-tuned on.
+    The held-out ids are saved to ``oov_split.json``.
+    """
     os.makedirs(out_dir, exist_ok=True)
     tq = load_questions(train_questions)
     ta = load_annotations(train_annotations)
@@ -107,6 +117,18 @@ def preprocess_vqa_v2(
     log.info("vocab %d words, %d answers", len(word_vocab),
              len(answer_vocab))
 
+    holdout_ids = np.zeros((0,), np.int32)
+    if answer_holdout_fraction > 0:
+        candidates = np.arange(4, len(answer_vocab))  # never the specials
+        rng = np.random.default_rng(holdout_seed)
+        n_hold = int(round(answer_holdout_fraction * candidates.size))
+        holdout_ids = np.sort(rng.choice(candidates, size=n_hold,
+                                         replace=False)).astype(np.int32)
+        with open(os.path.join(out_dir, "oov_split.json"), "w") as fh:
+            json.dump({"oov_ids": holdout_ids.tolist()}, fh)
+        log.info("answer holdout: %d/%d answers excluded from training",
+                 n_hold, len(answer_vocab))
+
     splits = [("train", tq, ta, False)]
     if val_questions:
         splits.append(("val", load_questions(val_questions),
@@ -118,6 +140,11 @@ def preprocess_vqa_v2(
                              max_question_len=max_question_len,
                              image_id_to_index=image_id_to_index,
                              with_scores=with_scores)
+        if name == "train" and holdout_ids.size:
+            held = np.isin(arrays["answer_id"], holdout_ids)
+            arrays["answer_id"] = np.where(held, UNK_ID,
+                                           arrays["answer_id"]).astype(
+                                               np.int32)
         path = os.path.join(out_dir, f"vqa_{name}.npz")
         np.savez_compressed(path, **arrays)
         in_vocab = float((arrays["answer_id"] != UNK_ID).mean())

@@ -39,9 +39,16 @@ def padded_batches(ds: ArrayDataset, batch_size: int
 def evaluate_split(trainer: Trainer, state: TrainState, ds: ArrayDataset,
                    *, answer_vocab: Optional[Vocab] = None,
                    question_ids: Optional[np.ndarray] = None,
-                   results_path: Optional[str] = None
+                   results_path: Optional[str] = None,
+                   oov_answer_ids: Optional[np.ndarray] = None
                    ) -> Tuple[Dict[str, float], np.ndarray]:
-    """Evaluate every row of ``ds``; optionally dump official result JSON."""
+    """Evaluate every row of ``ds``; optionally dump official result JSON.
+
+    ``oov_answer_ids``: answer-vocab ids absent from the training answers
+    (data/vqa_v2.oov_answer_split) — reports the paper's in-/out-of-
+    vocabulary accuracy breakdown, the headline measure of how well the
+    pretrained answer-embedding space generalizes to unseen answers.
+    """
     batches, n = padded_batches(ds, trainer.cfg.train.batch_size)
     metrics, preds = trainer.evaluate(state, batches)
     preds = preds[:n]
@@ -49,8 +56,16 @@ def evaluate_split(trainer: Trainer, state: TrainState, ds: ArrayDataset,
     # (utils/metrics.answer_scores), without padded-row dilution.
     if "answer_scores" in ds.arrays:
         table = ds.arrays["answer_scores"]
-        metrics["vqa_accuracy"] = float(
-            table[np.arange(n), preds].mean())
+        per_q = table[np.arange(n), preds]
+        metrics["vqa_accuracy"] = float(per_q.mean())
+        if oov_answer_ids is not None and "answer_id" in ds.arrays:
+            oov = np.isin(ds.arrays["answer_id"][:n], oov_answer_ids)
+            if oov.any():
+                metrics["vqa_accuracy_oov_answers"] = float(
+                    per_q[oov].mean())
+            if (~oov).any():
+                metrics["vqa_accuracy_in_vocab_answers"] = float(
+                    per_q[~oov].mean())
     if results_path is not None:
         if answer_vocab is None:
             raise ValueError("answer_vocab required to decode results")

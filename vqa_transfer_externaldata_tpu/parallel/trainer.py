@@ -11,6 +11,7 @@ sharding propagation (the rebuild's replacement for the reference's
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
@@ -187,11 +188,24 @@ class Trainer:
         step = int(jax.device_get(state.step))
         log.info("training from step %d to %d (global batch %d over %s)",
                  step, max_steps, t.batch_size, self.mesh)
+        profile_until = (t.profile_start + t.profile_steps
+                         if t.profile_steps else -1)
         while step < max_steps:
+            if t.profile_steps and step == t.profile_start:
+                jax.profiler.start_trace(
+                    os.path.join(self.train_dir, "profile"))
+                log.info("profiler trace started (steps %d..%d)",
+                         step, profile_until)
             batch = next(train_batches)
             batch = jax.device_put(batch, self._bshard)
             state, pending = self._train_step(state, batch)
             step += 1
+            if t.profile_steps and step == profile_until:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), pending)
+                jax.profiler.stop_trace()
+                log.info("profiler trace written to %s/profile",
+                         self.train_dir)
             if step % t.log_every == 0 or step == max_steps:
                 m = {k: float(jax.device_get(v)) for k, v in pending.items()}
                 dt = timer.reset()
