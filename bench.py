@@ -51,8 +51,13 @@ def main() -> None:
 
     spec = build_model(cfg)
     ds = synthetic_vqa(cfg, size=batch_size, seed=0)
+    import jax.numpy as _jnp
+
+    # Features ship at half width, matching the production pipeline (the
+    # extractor stores f16 grids, consumed as bf16 — data/features.py).
+    feat_dtype = _jnp.bfloat16 if on_tpu else np.float32
     batch = {
-        "features": ds.arrays["features"].astype(np.float32),
+        "features": ds.arrays["features"].astype(feat_dtype),
         "q_ids": ds.arrays["q_ids"],
         "answer_id": ds.arrays["answer_id"],
     }

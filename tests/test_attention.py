@@ -75,6 +75,32 @@ def test_custom_vjp_matches_reference_grad(data):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_normalize_fused_matches_explicit(data):
+    """normalize=True must equal l2_normalize outside the op, fwd + grad."""
+    from vqa_transfer_externaldata_tpu.ops.layers import l2_normalize
+
+    v, qh, wv, ws = data
+
+    def loss_fused(v, qh, wv, ws):
+        v_att, alpha = spatial_attention(v, qh, wv, ws, normalize=True,
+                                         interpret=True)
+        return jnp.sum(v_att ** 2) + jnp.sum(alpha ** 3)
+
+    def loss_explicit(v, qh, wv, ws):
+        v_att, alpha = spatial_attention_reference(l2_normalize(v), qh,
+                                                   wv, ws)
+        return jnp.sum(v_att ** 2) + jnp.sum(alpha ** 3)
+
+    np.testing.assert_allclose(float(loss_fused(v, qh, wv, ws)),
+                               float(loss_explicit(v, qh, wv, ws)),
+                               rtol=1e-4)
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(v, qh, wv, ws)
+    g_e = jax.grad(loss_explicit, argnums=(0, 1, 2, 3))(v, qh, wv, ws)
+    for gf, ge in zip(g_f, g_e):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(ge),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_attention_attends_to_salient_cell():
     """A cell whose feature aligns with the score weights should win."""
     B, N, C, H = 2, 16, 32, 8

@@ -72,7 +72,7 @@ def spatial_attention_reference(
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(n_valid: int, tb: int, nb: int):
+def _make_kernel(n_valid: int, tb: int, nb: int, normalize: bool):
     def kernel(v_ref, qh_ref, wv_ref, ws_ref,
                vatt_ref, alpha_ref, m_scr, d_scr, acc_scr):
         j = pl.program_id(1)
@@ -90,12 +90,26 @@ def _make_kernel(n_valid: int, tb: int, nb: int):
         C = v.shape[-1]
         H = qh_ref.shape[-1]
 
+        if normalize:
+            # Fused per-cell L2 normalization WITHOUT materializing a
+            # normalized copy of the tile: row scaling commutes with the
+            # right-matmul (r_n v_n) @ Wv = r_n (v_n @ Wv), so ``r`` is
+            # applied to the (4x smaller) hidden and folded into the
+            # softmax weights for the weighted sum.
+            sq = jnp.sum(jnp.square(v), axis=-1, dtype=jnp.float32)
+            r = jax.lax.rsqrt(sq + 1e-12)  # [TB, NB] f32
+        else:
+            r = None
+
         # Score MLP hidden: one [TB*NB, C] @ [C, H] MXU matmul (f32 acc).
         # No explicit precision: Mosaic rejects HIGHEST in-kernel ("Bad lhs
         # type"); preferred_element_type=f32 already gives MXU f32 accumulate.
         h = jnp.dot(v.reshape(tb * nb, C), wv_ref[:],
                     preferred_element_type=jnp.float32)
-        h = h.reshape(tb, nb, H) + qh_ref[:].astype(jnp.float32)[:, None, :]
+        h = h.reshape(tb, nb, H)
+        if r is not None:
+            h = h * r[:, :, None]
+        h = h + qh_ref[:].astype(jnp.float32)[:, None, :]
         h = jnp.maximum(h, 0.0)
         # Scores: lane-reduce against the (row-broadcast) score vector.
         ws_row = ws_ref[:][:1].astype(jnp.float32)  # [1, H]
@@ -113,11 +127,17 @@ def _make_kernel(n_valid: int, tb: int, nb: int):
         corr = jnp.exp(m_prev - m_new)  # [TB, 1]
         p = jnp.exp(s - m_new)  # [TB, NB]
         d_new = d_prev * corr + jnp.sum(p, axis=1, keepdims=True)
-        # Weighted-sum accumulator. Minor-dim insertion happens on the f32
-        # ``p`` (Mosaic only supports it for 32-bit types); the multiply
-        # promotes bf16 features to f32, accumulation is f32.
-        prod = p[:, :, None] * v.astype(jnp.float32)
-        acc_scr[:] = acc_scr[:] * corr + jnp.sum(prod, axis=1)
+        # Weighted-sum accumulator: per-row [1, NB] @ [NB, C] MXU dots —
+        # same speed as an elementwise multiply+reduce but without
+        # materializing a [TB, NB, C] f32 product in VMEM. The
+        # normalization factor folds into the weights: sum p_n v̂_n =
+        # sum (p_n r_n) v_n.
+        acc_scr[:] = acc_scr[:] * corr
+        pw = p if r is None else p * r
+        for b in range(tb):
+            pr = pw[b:b + 1, :].astype(dt)
+            acc_scr[b:b + 1, :] += jnp.dot(
+                pr, v[b], preferred_element_type=jnp.float32)
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         d_scr[:] = jnp.broadcast_to(d_new, d_scr.shape)
 
@@ -139,9 +159,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "block_b", "block_n"))
+                   static_argnames=("interpret", "block_b", "block_n",
+                                    "normalize"))
 def _attention_pallas_fwd(v, qh, wv, ws, *, interpret: bool,
-                          block_b: int = 8, block_n: int = 128):
+                          block_b: int = 8, block_n: int = 128,
+                          normalize: bool = False):
     B, N, C = v.shape
     H = qh.shape[-1]
     tb, nb = block_b, block_n
@@ -155,7 +177,7 @@ def _attention_pallas_fwd(v, qh, wv, ws, *, interpret: bool,
 
     flops = 2 * Bp * Np * (C * H + H + C)
     vatt, alpha = pl.pallas_call(
-        _make_kernel(N, tb, nb),
+        _make_kernel(N, tb, nb, normalize),
         grid=(Bp // tb, Np // nb),
         in_specs=[
             pl.BlockSpec((tb, nb, C), lambda i, j: (i, j, 0),
@@ -192,22 +214,79 @@ def _attention_pallas_fwd(v, qh, wv, ws, *, interpret: bool,
     return vatt[:B], alpha[:B, :N]
 
 
+def _attention_bwd_math(v, qh, wv, ws, alpha, vatt, g, ga,
+                        normalize: bool = False):
+    """Explicit backward from saved residuals (alpha, vatt).
+
+    Only the score-MLP hidden ``h`` is recomputed (one matmul); the softmax
+    is NOT re-run — ``S = g . vatt + sum(alpha * ga)`` exploits
+    ``sum_n alpha_n (g . v_n) = g . vatt``. This is the reason the op
+    carries a custom_vjp at all: jax.grad of the oracle would re-run the
+    whole forward before differentiating it.
+    """
+    dt = v.dtype
+    hi = jax.lax.Precision.HIGHEST
+    f32 = jnp.float32
+    g = g.astype(f32)
+    ga = ga.astype(f32)
+    alpha = alpha.astype(f32)
+    v_raw = v
+    if normalize:
+        sq = jnp.sum(jnp.square(v.astype(f32)), axis=-1, keepdims=True)
+        r = jax.lax.rsqrt(sq + 1e-12)  # [B, N, 1]
+        v = (v.astype(f32) * r).astype(dt)
+    # dalpha_n = g . v_n + ga_n ; S = sum_n alpha_n dalpha_n
+    dalpha = jnp.einsum("bc,bnc->bn", g.astype(dt), v,
+                        preferred_element_type=f32, precision=hi) + ga
+    S = (jnp.einsum("bc,bc->b", g, vatt.astype(f32),
+                    preferred_element_type=f32, precision=hi)
+         + jnp.sum(alpha * ga, axis=1))
+    ds = alpha * (dalpha - S[:, None])  # [B, N]
+    # Recompute hidden activations (one MXU matmul).
+    z = jnp.einsum("bnc,ch->bnh", v, wv.astype(dt),
+                   preferred_element_type=f32, precision=hi)
+    z = z + qh[:, None, :].astype(f32)
+    h = jnp.maximum(z, 0.0)
+    relu_mask = (z > 0.0).astype(f32)
+    dz = relu_mask * (ds[:, :, None] * ws.astype(f32)[None, None, :])
+    dws = jnp.einsum("bn,bnh->h", ds, h, preferred_element_type=f32,
+                     precision=hi)
+    dqh = jnp.sum(dz, axis=1).astype(qh.dtype)
+    dz_c = dz.astype(dt)
+    dwv = jnp.einsum("bnc,bnh->ch", v, dz_c, preferred_element_type=f32,
+                     precision=hi)
+    dv = (alpha[:, :, None] * g[:, None, :]) + jnp.einsum(
+        "bnh,ch->bnc", dz_c, wv.astype(dt), preferred_element_type=f32,
+        precision=hi)
+    if normalize:
+        # Chain through v_hat = v * rsqrt(|v|^2 + eps):
+        # dv_raw = r * (dv_hat - v_hat * (v_hat . dv_hat))
+        vhat = v.astype(f32)
+        inner = jnp.sum(dv * vhat, axis=-1, keepdims=True)
+        dv = r * (dv - vhat * inner)
+    return (dv.astype(v_raw.dtype), dqh, dwv.astype(wv.dtype),
+            dws.astype(ws.dtype))
+
+
 @functools.lru_cache(maxsize=None)
-def _make_fused(interpret: bool, block_b: int, block_n: int):
+def _make_fused(interpret: bool, block_b: int, block_n: int,
+                normalize: bool):
     @jax.custom_vjp
     def fused(v, qh, wv, ws):
         out = _attention_pallas_fwd(v, qh, wv, ws, interpret=interpret,
-                                    block_b=block_b, block_n=block_n)
+                                    block_b=block_b, block_n=block_n,
+                                    normalize=normalize)
         return tuple(out)
 
     def fwd(v, qh, wv, ws):
-        return fused(v, qh, wv, ws), (v, qh, wv, ws)
+        vatt, alpha = fused(v, qh, wv, ws)
+        return (vatt, alpha), (v, qh, wv, ws, alpha, vatt)
 
     def bwd(residuals, cotangents):
-        # Recompute-in-jnp backward: differentiates the oracle, which is
-        # numerically the same function the kernel computes.
-        _, vjp = jax.vjp(spatial_attention_reference, *residuals)
-        return vjp(cotangents)
+        v, qh, wv, ws, alpha, vatt = residuals
+        g, ga = cotangents
+        return _attention_bwd_math(v, qh, wv, ws, alpha, vatt, g, ga,
+                                   normalize=normalize)
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -219,18 +298,26 @@ def spatial_attention(
     wv: jnp.ndarray,
     w_score: jnp.ndarray,
     *,
+    normalize: bool = False,
     use_pallas: bool = True,
     interpret: bool | None = None,
     block_b: int = 8,
     block_n: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dispatching entrypoint. ``interpret=None`` auto-selects interpreter
-    mode off-TPU so tests exercise the same kernel code path on CPU."""
+    """Dispatching entrypoint. ``normalize=True`` fuses per-cell L2
+    normalization of ``v`` into the op (in-VMEM on the Pallas path).
+    ``interpret=None`` auto-selects interpreter mode off-TPU so tests
+    exercise the same kernel code path on CPU."""
     if not use_pallas:
+        if normalize:
+            from vqa_transfer_externaldata_tpu.ops.layers import l2_normalize
+
+            v = l2_normalize(v)
         return spatial_attention_reference(v, qh, wv, w_score)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_n is None:
         # Lane alignment: alpha chunk writes require nb % 128 == 0.
         block_n = 128
-    return _make_fused(interpret, block_b, block_n)(v, qh, wv, w_score)
+    return _make_fused(interpret, block_b, block_n, normalize)(
+        v, qh, wv, w_score)
