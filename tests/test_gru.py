@@ -76,6 +76,27 @@ def test_bigru_shape(setup):
     assert out.shape == (x.shape[0], 2 * H)
 
 
+def test_pallas_matches_scan(setup):
+    """Fused Pallas recurrence (interpret mode) == lax.scan path, fwd+grad."""
+    _, params, x, mask, _, H = setup
+    enc_p = GRUEncoder(hidden=H, dtype=jnp.float32, use_pallas=True)
+    enc_s = GRUEncoder(hidden=H, dtype=jnp.float32, use_pallas=False)
+    out_p = enc_p.apply(params, x, mask)
+    out_s = enc_s.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(enc):
+        return lambda p, x: jnp.sum(enc.apply(p, x, mask) ** 2)
+
+    gp = jax.grad(loss(enc_p), argnums=(0, 1))(params, x)
+    gs = jax.grad(loss(enc_s), argnums=(0, 1))(params, x)
+    for leaf_p, leaf_s in zip(jax.tree_util.tree_leaves(gp),
+                              jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(leaf_p), np.asarray(leaf_s),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_bf16_close_to_f32(setup):
     enc_f32, params, x, mask, _, H = setup
     enc_bf16 = GRUEncoder(hidden=H, dtype=jnp.bfloat16)

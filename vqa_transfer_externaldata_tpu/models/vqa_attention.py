@@ -54,7 +54,8 @@ class VQAAttentionModel(nn.Module):
         words = WordEmbedding(self.vocab_size, self.word_dim,
                               init_matrix=self.word_init, dtype=dt,
                               name="word_emb")(q_ids)
-        q = GRUEncoder(self.rnn_dim, dtype=dt, name="gru")(words, mask)
+        q = GRUEncoder(self.rnn_dim, dtype=dt, use_pallas=self.use_pallas,
+                       name="gru")(words, mask)
 
         # --- single-glimpse spatial attention (fused Pallas kernel; the
         # per-cell L2 normalization is fused into the op) ----------------
