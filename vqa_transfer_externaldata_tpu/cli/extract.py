@@ -37,6 +37,9 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
     p.add_argument("--image_size", type=int, default=448)
     p.add_argument("--torch_checkpoint", default=None,
                    help="torchvision-format resnet101 state_dict (.pth)")
+    p.add_argument("--format", default="hdf5", choices=("hdf5", "raw"),
+                   help="raw = mmap directory served by the native "
+                        "multi-threaded gather (fastest at train time)")
     args = p.parse_args(argv)
 
     paths = sorted(glob.glob(os.path.join(args.image_dir, args.pattern)))
@@ -64,7 +67,7 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
     return extract_features(paths, ids, args.out,
                             batch_size=args.batch_size,
                             image_size=args.image_size,
-                            variables=variables)
+                            variables=variables, fmt=args.format)
 
 
 if __name__ == "__main__":

@@ -91,6 +91,9 @@ class TrainConfig:
     # TensorBoard or Perfetto (SURVEY.md section 5).
     profile_start: int = 10
     profile_steps: int = 0
+    # Host-side input prefetch depth (batches prepared ahead by a
+    # background thread while the device runs; 0 disables).
+    prefetch_batches: int = 2
     # Transfer (stage-2) init: path to a stage-1 (vlmap) checkpoint whose
     # word/answer embedding space seeds the answer classifier (reference C12).
     pretrained_param_path: str = ""

@@ -147,6 +147,45 @@ def synthetic_vlmap(cfg: Config, *, size: Optional[int] = None,
         "candidates": candidates, "label": label.astype(np.int32)})
 
 
+class PrefetchIterator:
+    """Background-thread prefetch over a batch iterator (reference C5/C7's
+    TF1 queue runners, rebuilt as a bounded queue): the host prepares the
+    next ``depth`` batches (feature gathers, HDF5 reads) while the device
+    runs the current step, hiding input-pipeline latency."""
+
+    def __init__(self, it: Iterator[Dict[str, np.ndarray]],
+                 depth: int = 2) -> None:
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._done = object()
+        self._exc: Optional[BaseException] = None
+
+        def worker() -> None:
+            try:
+                for item in it:
+                    self._q.put(item)
+            except BaseException as e:  # propagate into the consumer
+                self._exc = e
+            finally:
+                self._q.put(self._done)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self) -> "PrefetchIterator":
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        item = self._q.get()
+        if item is self._done:
+            if self._exc is not None:
+                raise self._exc
+            raise StopIteration
+        return item
+
+
 def synthetic_vocabs(cfg: Config):
     """Deterministic word/answer vocabs for synthetic mode: every answer
     token is a word-vocab token, so transfer_init has real rows to map."""

@@ -26,11 +26,32 @@ from vqa_transfer_externaldata_tpu.utils.logging import log
 
 
 class FeatureStore:
-    """Random-access [M, ...] feature arrays from .npz or .hdf5."""
+    """Random-access [M, ...] feature arrays.
+
+    Backends: ``.hdf5``/``.h5`` file, ``.npz`` file, or a *raw* directory
+    (``meta.json`` + ``grid.f16.bin`` + ``pool5.f32.bin`` + ``image_ids.npy``)
+    written by ``extract_features(fmt="raw")`` — memory-mapped and gathered
+    by the multi-threaded native IO library (data/native.py) when built.
+    """
 
     def __init__(self, path: str) -> None:
         self.path = path
-        if path.endswith((".h5", ".hdf5")):
+        self._file = None
+        self._raw = False
+        if os.path.isdir(path):
+            import json
+
+            with open(os.path.join(path, "meta.json")) as fh:
+                meta = json.load(fh)
+            gshape = tuple(meta["grid_shape"])  # [M, g, g, C]
+            self.grid = np.memmap(os.path.join(path, "grid.f16.bin"),
+                                  dtype=np.float16, mode="r", shape=gshape)
+            self.pool5 = np.memmap(
+                os.path.join(path, "pool5.f32.bin"), dtype=np.float32,
+                mode="r", shape=(gshape[0], meta["pool5_dim"]))
+            self.image_ids = np.load(os.path.join(path, "image_ids.npy"))
+            self._raw = True
+        elif path.endswith((".h5", ".hdf5")):
             import h5py
 
             self._file = h5py.File(path, "r")
@@ -39,7 +60,6 @@ class FeatureStore:
             self.image_ids = np.asarray(self._file["image_ids"])
         else:
             data = np.load(path)
-            self._file = None
             self.grid = data["grid"]
             self.pool5 = data["pool5"]
             self.image_ids = data["image_ids"]
@@ -47,15 +67,19 @@ class FeatureStore:
 
     def gather(self, indices: np.ndarray, *, flatten_grid: bool = True
                ) -> Dict[str, np.ndarray]:
-        if self._file is not None:
+        if self._raw:
+            from vqa_transfer_externaldata_tpu.data import native
+
+            grid = native.gather_f16(self.grid, indices, widen=True)
+            pool5 = native.gather_f32(self.pool5, indices)
+        elif self._file is not None:
             # h5py fancy indexing requires sorted unique indices.
             uniq, inverse = np.unique(indices, return_inverse=True)
-            grid = np.asarray(self.grid[uniq])[inverse]
+            grid = np.asarray(self.grid[uniq])[inverse].astype(np.float32)
             pool5 = np.asarray(self.pool5[uniq])[inverse]
         else:
-            grid = self.grid[indices]
+            grid = self.grid[indices].astype(np.float32)
             pool5 = self.pool5[indices]
-        grid = grid.astype(np.float32)
         if flatten_grid and grid.ndim == 4:
             b, h, w, c = grid.shape
             grid = grid.reshape(b, h * w, c)
@@ -114,6 +138,7 @@ def extract_features(
     image_size: int = 448,
     variables=None,
     dtype: str = "bfloat16",
+    fmt: str = "hdf5",  # "hdf5" | "raw" (mmap dir + native gather)
 ) -> str:
     """Run the (jit) ResNet-101 extractor over images/crops -> feature file.
 
@@ -148,29 +173,49 @@ def extract_features(
     boxes = boxes if boxes is not None else [None] * n
     g = image_size // 32
 
-    import h5py
+    if fmt == "raw":
+        import json
 
-    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    with h5py.File(out_path, "w") as f:
+        os.makedirs(out_path, exist_ok=True)
+        d_grid = np.memmap(os.path.join(out_path, "grid.f16.bin"),
+                           dtype=np.float16, mode="w+",
+                           shape=(n, g, g, 2048))
+        d_pool = np.memmap(os.path.join(out_path, "pool5.f32.bin"),
+                           dtype=np.float32, mode="w+", shape=(n, 2048))
+        np.save(os.path.join(out_path, "image_ids.npy"),
+                np.asarray(image_ids, np.int64))
+        with open(os.path.join(out_path, "meta.json"), "w") as fh:
+            json.dump({"grid_shape": [n, g, g, 2048], "pool5_dim": 2048},
+                      fh)
+        closer = lambda: (d_grid.flush(), d_pool.flush())
+    else:
+        import h5py
+
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)),
+                    exist_ok=True)
+        f = h5py.File(out_path, "w")
         d_grid = f.create_dataset("grid", (n, g, g, 2048), dtype="f2",
                                   chunks=(1, g, g, 2048))
         d_pool = f.create_dataset("pool5", (n, 2048), dtype="f4")
         f.create_dataset("image_ids", data=np.asarray(image_ids, np.int64))
-        for start in range(0, n, batch_size):
-            idx = range(start, min(start + batch_size, n))
-            imgs = np.stack([
-                _resize_host(_load_image(image_paths[i], boxes[i]),
-                             image_size) for i in idx])
-            pad = batch_size - imgs.shape[0]
-            if pad:  # static shapes for jit
-                imgs = np.concatenate([imgs, np.repeat(imgs[:1], pad, 0)])
-            grid, pool5 = forward(jnp.asarray(imgs))
-            grid = np.asarray(jax.device_get(grid))[:len(idx)]
-            pool5 = np.asarray(jax.device_get(pool5))[:len(idx)]
-            d_grid[idx.start:idx.stop] = grid
-            d_pool[idx.start:idx.stop] = pool5
-            if (start // batch_size) % 50 == 0:
-                log.info("extracted %d/%d", idx.stop, n)
+        closer = f.close
+
+    for start in range(0, n, batch_size):
+        idx = range(start, min(start + batch_size, n))
+        imgs = np.stack([
+            _resize_host(_load_image(image_paths[i], boxes[i]),
+                         image_size) for i in idx])
+        pad = batch_size - imgs.shape[0]
+        if pad:  # static shapes for jit
+            imgs = np.concatenate([imgs, np.repeat(imgs[:1], pad, 0)])
+        grid, pool5 = forward(jnp.asarray(imgs))
+        grid = np.asarray(jax.device_get(grid))[:len(idx)]
+        pool5 = np.asarray(jax.device_get(pool5))[:len(idx)]
+        d_grid[idx.start:idx.stop] = grid
+        d_pool[idx.start:idx.stop] = pool5
+        if (start // batch_size) % 50 == 0:
+            log.info("extracted %d/%d", idx.stop, n)
+    closer()
     log.info("features written to %s", out_path)
     return out_path
 

@@ -183,6 +183,12 @@ class Trainer:
             max_steps: Optional[int] = None) -> TrainState:
         t = self.cfg.train
         max_steps = max_steps if max_steps is not None else t.max_steps
+        if t.prefetch_batches > 0:
+            from vqa_transfer_externaldata_tpu.data.datasets import (
+                PrefetchIterator)
+
+            train_batches = PrefetchIterator(train_batches,
+                                             depth=t.prefetch_batches)
         timer = Timer()
         pending: Dict[str, jax.Array] = {}
         step = int(jax.device_get(state.step))
