@@ -12,7 +12,13 @@ number (kept in BASELINE.md) — >1.0 means faster than round 1.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# Persistent compilation cache: repeated bench runs skip the (remote,
+# occasionally flaky) TPU compile service entirely.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
 
 import jax
 import numpy as np

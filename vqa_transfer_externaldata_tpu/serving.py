@@ -1,0 +1,93 @@
+"""Inference/serving API: load a trained run and answer questions.
+
+The eval-mode forward automatically takes the Pallas fused-attention path
+(models/vqa_attention.py mode dispatch), runs at a fixed compiled batch size
+(requests are padded and trimmed — static shapes), and decodes answers
+through the run's answer vocab:
+
+    predictor = Predictor("runs/vqa")
+    answers = predictor.answer(features, ["what color is the dog?", ...])
+
+For the raw-image model (``vqa_end2end``) pass uint8 images instead of
+precomputed features.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from vqa_transfer_externaldata_tpu.cli.common import build_spec
+from vqa_transfer_externaldata_tpu.config import Config
+from vqa_transfer_externaldata_tpu.utils.checkpoint import load_params
+from vqa_transfer_externaldata_tpu.utils.logging import log
+
+
+class Predictor:
+    def __init__(self, train_dir: str, *, batch_size: int = 8,
+                 params_path: Optional[str] = None) -> None:
+        cfg_path = os.path.join(train_dir, "config.json")
+        with open(cfg_path) as fh:
+            saved = json.load(fh)
+        flat = {f"{s}.{k}": v for s, sec in saved.items()
+                for k, v in sec.items()}
+        self.cfg: Config = Config().replace_flat(flat)
+        self.batch_size = batch_size
+        self.spec, self.word_vocab, self.answer_vocab = build_spec(self.cfg)
+        if self.word_vocab is None or self.answer_vocab is None:
+            raise ValueError(
+                "run config has no vocab paths (and is not synthetic); "
+                "serving needs vocab.json / answer_vocab.json")
+        params_path = params_path or os.path.join(train_dir, "params_final")
+        restored = load_params(params_path)
+        self.params = restored.get("params", restored) \
+            if isinstance(restored, dict) and "params" in restored \
+            else restored
+        # Non-trainable collections (e.g. frozen BN stats) are restored from
+        # a fresh init — they are deterministic for frozen backbones.
+        self._extra: Dict = {}
+        self._apply = jax.jit(self._forward)
+        log.info("predictor ready: %s (%s), batch %d", train_dir,
+                 self.cfg.model.model, batch_size)
+
+    def _forward(self, params, *inputs):
+        out = self.spec.module.apply({"params": params, **self._extra},
+                                     *inputs, train=False)
+        return out["logits"].astype(np.float32).argmax(-1)
+
+    def _encode_questions(self, questions: Sequence[str]) -> np.ndarray:
+        T = self.cfg.data.max_question_len
+        ids = np.zeros((len(questions), T), np.int32)
+        for i, q in enumerate(questions):
+            ids[i], _ = self.word_vocab.encode(q, T)
+        return ids
+
+    def _run_batched(self, visual: np.ndarray,
+                     q_ids: np.ndarray) -> np.ndarray:
+        n = q_ids.shape[0]
+        bs = self.batch_size
+        preds = np.zeros((n,), np.int64)
+        for start in range(0, n, bs):
+            end = min(start + bs, n)
+            pad = bs - (end - start)
+            v = visual[start:end]
+            q = q_ids[start:end]
+            if pad:
+                v = np.concatenate([v, np.repeat(v[:1], pad, 0)])
+                q = np.concatenate([q, np.repeat(q[:1], pad, 0)])
+            out = np.asarray(jax.device_get(self._apply(self.params, v, q)))
+            preds[start:end] = out[: end - start]
+        return preds
+
+    def answer(self, visual: np.ndarray,
+               questions: Sequence[str]) -> List[str]:
+        """``visual``: [N, grid_cells, C] features (vqa_attention),
+        [N, C] pool5 (vqa_baseline), or [N, S, S, 3] uint8 (vqa_end2end)."""
+        q_ids = self._encode_questions(questions)
+        assert visual.shape[0] == q_ids.shape[0]
+        preds = self._run_batched(np.asarray(visual), q_ids)
+        return [self.answer_vocab.tokens[int(p)] for p in preds]
