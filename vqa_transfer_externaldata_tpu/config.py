@@ -58,6 +58,7 @@ class ModelConfig:
     dropout: float = 0.5
     dtype: str = "bfloat16"  # compute dtype on TPU; params stay float32
     use_pallas: bool = True  # fused Pallas kernels for hot ops
+    glimpses: int = 1  # attention glimpses (vqa_attention2 sets 2)
     # vlmap (stage-1) specific
     num_tasks: int = 32
     task_dim: int = 64

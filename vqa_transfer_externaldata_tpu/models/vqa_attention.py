@@ -40,6 +40,7 @@ class VQAAttentionModel(nn.Module):
     dtype: Any = jnp.bfloat16
     use_pallas: bool = True
     normalize_v: bool = True
+    glimpses: int = 1  # >1: multi-glimpse variant (XLA attention path)
     word_init: Optional[np.ndarray] = None  # [vocab, word_dim] GloVe
     answer_init: Optional[np.ndarray] = None  # [answers, answer_dim]
 
@@ -64,17 +65,28 @@ class VQAAttentionModel(nn.Module):
                       name="att_q")(q)
         wv = self.param("att_wv", nn.initializers.glorot_uniform(),
                         (C, self.att_hidden), jnp.float32)
-        ws = self.param("att_ws", nn.initializers.normal(0.05),
-                        (self.att_hidden,), jnp.float32)
-        # Mode-dependent dispatch (measured on v5e, batch 256): the Pallas
-        # streaming kernel wins forward-only (1.8 vs 2.0 ms) — eval and
-        # serving take it; for fwd+bwd XLA's fusion of the three einsums
-        # (which keeps the hidden activations as residuals instead of
-        # recomputing them) is ~15% faster, so training takes the XLA path.
-        v_att, alpha = spatial_attention(v, qh, wv, ws,
-                                         normalize=self.normalize_v,
-                                         use_pallas=(self.use_pallas
-                                                     and not train))
+        if self.glimpses > 1:
+            from vqa_transfer_externaldata_tpu.ops.attention import (
+                spatial_attention_multi)
+            from vqa_transfer_externaldata_tpu.ops.layers import l2_normalize
+
+            ws_g = self.param("att_ws", nn.initializers.normal(0.05),
+                              (self.att_hidden, self.glimpses), jnp.float32)
+            vn = l2_normalize(v) if self.normalize_v else v
+            v_att, alpha = spatial_attention_multi(vn, qh, wv, ws_g)
+        else:
+            ws = self.param("att_ws", nn.initializers.normal(0.05),
+                            (self.att_hidden,), jnp.float32)
+            # Mode-dependent dispatch (measured on v5e, batch 256): the
+            # Pallas streaming kernel wins forward-only (1.8 vs 2.0 ms) —
+            # eval and serving take it; for fwd+bwd XLA's fusion of the
+            # three einsums (which keeps the hidden activations as
+            # residuals instead of recomputing them) is ~15% faster, so
+            # training takes the XLA path.
+            v_att, alpha = spatial_attention(v, qh, wv, ws,
+                                             normalize=self.normalize_v,
+                                             use_pallas=(self.use_pallas
+                                                         and not train))
 
         # --- fusion (elementwise product of gated projections) ----------
         fq = GatedTanh(self.fusion_dim, dtype=dt, name="fuse_q")(q)

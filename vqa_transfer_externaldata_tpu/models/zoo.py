@@ -39,14 +39,15 @@ def build_model(cfg: Config,
     m, d = cfg.model, cfg.data
     dt = dtype_of(m.dtype)
     name = m.model
-    if name == "vqa_attention":
+    if name in ("vqa_attention", "vqa_attention2"):
+        glimpses = 2 if name == "vqa_attention2" else max(1, m.glimpses)
         module = VQAAttentionModel(
             vocab_size=d.vocab_size, num_answers=d.num_answers,
             word_dim=m.word_dim, rnn_dim=m.rnn_dim,
             fusion_dim=m.fusion_dim, att_hidden=m.att_hidden,
             answer_dim=m.answer_dim, dropout=m.dropout, dtype=dt,
-            use_pallas=m.use_pallas, word_init=word_init,
-            answer_init=answer_init)
+            use_pallas=m.use_pallas, glimpses=glimpses,
+            word_init=word_init, answer_init=answer_init)
         return ModelSpec(module,
                          lambda b: (b["features"], b["q_ids"]),
                          vqa_loss, "vqa")
@@ -86,4 +87,5 @@ def build_model(cfg: Config,
     raise KeyError(f"unknown model {name!r}; known: {sorted(MODELS)}")
 
 
-MODELS = ("vqa_attention", "vqa_baseline", "vlmap", "vqa_end2end")
+MODELS = ("vqa_attention", "vqa_attention2", "vqa_baseline", "vlmap",
+          "vqa_end2end")

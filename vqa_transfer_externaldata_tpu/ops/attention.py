@@ -67,6 +67,29 @@ def spatial_attention_reference(
     return v_att, alpha
 
 
+def spatial_attention_multi(
+    v: jnp.ndarray,  # [B, N, C]
+    qh: jnp.ndarray,  # [B, H]
+    wv: jnp.ndarray,  # [C, H]
+    w_score: jnp.ndarray,  # [H, G] — one score vector per glimpse
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-glimpse variant (XLA path): G independent softmaxes over the
+    grid; returns (v_att [B, G*C] f32 concat, alpha [B, N, G]). G=2 is the
+    Show-Ask-Attend-Answer-style strong baseline (PAPERS.md)."""
+    dt = v.dtype
+    hi = jax.lax.Precision.HIGHEST
+    h = jnp.einsum("bnc,ch->bnh", v, wv.astype(dt),
+                   preferred_element_type=jnp.float32, precision=hi)
+    h = jax.nn.relu(h + qh[:, None, :].astype(jnp.float32))
+    score = jnp.einsum("bnh,hg->bng", h.astype(dt), w_score.astype(dt),
+                       preferred_element_type=jnp.float32, precision=hi)
+    alpha = jax.nn.softmax(score, axis=1)  # [B, N, G]
+    v_att = jnp.einsum("bng,bnc->bgc", alpha.astype(dt), v,
+                       preferred_element_type=jnp.float32, precision=hi)
+    B, G, C = v_att.shape
+    return v_att.reshape(B, G * C), alpha
+
+
 # ---------------------------------------------------------------------------
 # Pallas streaming kernel
 # ---------------------------------------------------------------------------
