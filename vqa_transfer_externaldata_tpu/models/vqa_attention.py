@@ -68,7 +68,6 @@ class VQAAttentionModel(nn.Module):
         if self.glimpses > 1:
             from vqa_transfer_externaldata_tpu.ops.attention import (
                 spatial_attention_multi)
-            from vqa_transfer_externaldata_tpu.ops.layers import l2_normalize
 
             ws_g = self.param("att_ws", nn.initializers.normal(0.05),
                               (self.att_hidden, self.glimpses), jnp.float32)
