@@ -381,6 +381,76 @@ def gru_fused(gx: jnp.ndarray, lens: jnp.ndarray, uh: jnp.ndarray,
     return _make_gru_fused(interpret)(gx, lens, uh, bhn)
 
 
+class TFGRUEncoder(nn.Module):
+    """TF1 ``tf.nn.rnn_cell.GRUCell``-exact variant (checkpoint fidelity).
+
+    The reference builds its question encoder with the TF1 GRUCell
+    (SURVEY.md C8/C9), whose gate math differs from the CuDNN convention
+    used by :class:`GRUEncoder`: the reset gate multiplies the hidden state
+    *before* the candidate matmul, and gates share one packed kernel over
+    ``[x, h]`` with bias initialized to 1.0:
+
+        r, z = sigmoid([x, h] @ W_g + b_g)          # b_g init 1.0
+        c    = tanh([x, r*h] @ W_c + b_c)
+        h'   = z*h + (1-z)*c
+
+    Param names mirror TF1 variable names (``gates/kernel`` etc.) so ported
+    reference weights drop in as a pure rename. Use this module when
+    verifying logit-level agreement against reference checkpoints; use
+    GRUEncoder for from-scratch TPU training (its candidate matmul fuses).
+    """
+
+    hidden: int = 512
+    dtype: Dtype = jnp.bfloat16
+    unroll: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        B, T, D = x.shape
+        H = self.hidden
+        kinit = nn.initializers.glorot_uniform()
+        w_gates = self.param("gates_kernel", kinit, (D + H, 2 * H),
+                             jnp.float32)
+        b_gates = self.param("gates_bias", nn.initializers.ones,
+                             (2 * H,), jnp.float32)
+        w_cand = self.param("candidate_kernel", kinit, (D + H, H),
+                            jnp.float32)
+        b_cand = self.param("candidate_bias", nn.initializers.zeros,
+                            (H,), jnp.float32)
+        dt = self.dtype
+        x = x.astype(dt)
+        # The x-side of the gate matmul hoists; the h-side and the whole
+        # candidate matmul are sequential (r*h sits inside it).
+        gx = jnp.dot(x.reshape(B * T, D), w_gates[:D].astype(dt),
+                     preferred_element_type=jnp.float32)
+        gx = (gx + b_gates).reshape(B, T, 2 * H)
+        cx = jnp.dot(x.reshape(B * T, D), w_cand[:D].astype(dt),
+                     preferred_element_type=jnp.float32)
+        cx = (cx + b_cand).reshape(B, T, H)
+        w_gates_h = w_gates[D:].astype(dt)
+        w_cand_h = w_cand[D:].astype(dt)
+
+        def step(h, inp):
+            gx_t, cx_t, m_t = inp
+            gates = gx_t + jnp.dot(h.astype(dt), w_gates_h,
+                                   preferred_element_type=jnp.float32)
+            r = jax.nn.sigmoid(gates[:, :H])
+            z = jax.nn.sigmoid(gates[:, H:])
+            c = jnp.tanh(cx_t + jnp.dot((r * h).astype(dt), w_cand_h,
+                                        preferred_element_type=jnp.float32))
+            h_new = z * h + (1.0 - z) * c
+            m = m_t[:, None].astype(h_new.dtype)
+            return m * h_new + (1.0 - m) * h, None
+
+        h0 = jnp.zeros((B, H), jnp.float32)
+        hT, _ = jax.lax.scan(
+            step, h0,
+            (jnp.swapaxes(gx, 0, 1), jnp.swapaxes(cx, 0, 1),
+             jnp.swapaxes(mask, 0, 1)),
+            unroll=min(self.unroll if self.unroll > 0 else T, T))
+        return hT.astype(dt)
+
+
 def gru_reference(params: dict, x: jnp.ndarray, mask: jnp.ndarray,
                   hidden: int) -> jnp.ndarray:
     """Slow per-step float32 reference for numerics tests: identical math to
