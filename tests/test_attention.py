@@ -75,6 +75,27 @@ def test_custom_vjp_matches_reference_grad(data):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_xla_fwd_custom_grad_matches_autodiff(data):
+    """use_pallas=False still carries the explicit bf16-friendly backward;
+    it must match pure autodiff of the oracle."""
+    v, qh, wv, ws = data
+
+    def loss_custom(v, qh, wv, ws):
+        v_att, alpha = spatial_attention(v, qh, wv, ws, use_pallas=False)
+        return jnp.sum(v_att ** 2) + jnp.sum(alpha ** 3)
+
+    def loss_auto(v, qh, wv, ws):
+        v_att, alpha = spatial_attention(v, qh, wv, ws, use_pallas=False,
+                                         custom_grad=False)
+        return jnp.sum(v_att ** 2) + jnp.sum(alpha ** 3)
+
+    g_c = jax.grad(loss_custom, argnums=(0, 1, 2, 3))(v, qh, wv, ws)
+    g_a = jax.grad(loss_auto, argnums=(0, 1, 2, 3))(v, qh, wv, ws)
+    for gc, ga_ in zip(g_c, g_a):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(ga_),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_normalize_fused_matches_explicit(data):
     """normalize=True must equal l2_normalize outside the op, fwd + grad."""
     from vqa_transfer_externaldata_tpu.ops.layers import l2_normalize

@@ -76,12 +76,12 @@ class VQAAttentionModel(nn.Module):
         else:
             ws = self.param("att_ws", nn.initializers.normal(0.05),
                             (self.att_hidden,), jnp.float32)
-            # Mode-dependent dispatch (measured on v5e, batch 256): the
-            # Pallas streaming kernel wins forward-only (1.8 vs 2.0 ms) —
-            # eval and serving take it; for fwd+bwd XLA's fusion of the
-            # three einsums (which keeps the hidden activations as
-            # residuals instead of recomputing them) is ~15% faster, so
-            # training takes the XLA path.
+            # Mode-dependent forward dispatch (measured on v5e, batch 256):
+            # the Pallas streaming kernel wins forward-only (1.8 vs 2.0 ms)
+            # — eval/serving take it; training takes XLA's fused forward.
+            # Either way the backward is the op's explicit bf16 math
+            # (ops/attention.py): autodiff would run the dv/dwv dots in f32
+            # at 1/4 MXU rate (profiled 1.9 ms for dwv alone).
             v_att, alpha = spatial_attention(v, qh, wv, ws,
                                              normalize=self.normalize_v,
                                              use_pallas=(self.use_pallas
