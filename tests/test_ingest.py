@@ -36,6 +36,39 @@ def test_image_question_dataset(tmp_path):
     ds.close()
 
 
+def test_grain_pipeline(tmp_path):
+    from PIL import Image
+
+    from vqa_transfer_externaldata_tpu.data.grain_loader import (
+        make_grain_dataset)
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"g{i}.jpg")
+        Image.fromarray(np.full((20, 20, 3), 40 * i, np.uint8)).save(p)
+        paths.append(p)
+    arrays = {
+        "q_ids": np.arange(24, dtype=np.int32).reshape(8, 3),
+        "answer_id": np.arange(8, dtype=np.int32),
+        "image_index": np.array([0, 1, 2, 0, 1, 2, 0, 1], np.int32),
+    }
+    ds = make_grain_dataset(arrays, paths, image_size=16, batch_size=4,
+                            seed=3)
+    batches = list(ds)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["images"].shape == (4, 16, 16, 3)
+    assert b["q_ids"].shape == (4, 3)
+    # deterministic epoch order
+    ds2 = make_grain_dataset(arrays, paths, image_size=16, batch_size=4,
+                             seed=3)
+    b2 = next(iter(ds2))
+    np.testing.assert_array_equal(b["answer_id"], b2["answer_id"])
+    # image matches its row's image_index
+    row0_img = int(b["image_index"][0])
+    assert abs(int(b["images"][0].mean()) - 40 * row0_img) <= 5
+
+
 def test_two_glimpse_variant(tiny_config):
     from vqa_transfer_externaldata_tpu.data.datasets import load_dataset
     from vqa_transfer_externaldata_tpu.models.zoo import build_model
