@@ -50,6 +50,33 @@ def test_full_two_stage_pipeline(tmp_path):
     assert set(results[0]) == {"question_id", "answer"}
 
 
+def test_profile_flag_writes_trace(tmp_path):
+    d = str(tmp_path / "prof_run")
+    train_cli.main(TINY + ["--model.model", "vqa_baseline",
+                           "--train.train_dir", d,
+                           "--train.max_steps", "6",
+                           "--train.profile_start", "2",
+                           "--train.profile_steps", "2"])
+    import glob
+
+    traces = glob.glob(os.path.join(d, "profile", "**", "*.json.gz"),
+                       recursive=True)
+    assert traces, "profiler trace not written"
+
+
+def test_eval_cli_adopts_saved_config_with_overrides(tmp_path):
+    d = train_cli.main(TINY + ["--model.model", "vqa_baseline",
+                               "--train.train_dir",
+                               str(tmp_path / "cfg_run")])
+    # eval passes ONLY the train_dir: model/dims must come from config.json
+    metrics = eval_cli.main(["--train.train_dir", d])
+    assert "loss" in metrics
+    # an explicit flag must override the saved value (smaller eval batch)
+    metrics2 = eval_cli.main(["--train.train_dir", d,
+                              "--train.batch_size", "8"])
+    assert abs(metrics["loss"] - metrics2["loss"]) < 1e-3
+
+
 def test_train_resume_via_cli(tmp_path):
     d = str(tmp_path / "resume_run")
     train_cli.main(TINY + ["--model.model", "vqa_baseline",
