@@ -37,8 +37,15 @@ class ArrayDataset:
 
     def batches(self, batch_size: int, *, shuffle: bool = True,
                 seed: int = 0, epochs: Optional[int] = None,
-                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield fixed-shape batches; infinite if ``epochs`` is None."""
+                drop_last: bool = True,
+                shard: Optional[tuple] = None
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield fixed-shape batches; infinite if ``epochs`` is None.
+
+        ``shard=(k, n)``: multi-host data parallelism — process k of n
+        takes every n-th row of the (identically-seeded) epoch permutation,
+        so the union over processes covers each epoch exactly once.
+        """
         if drop_last and self.size < batch_size:
             raise ValueError(
                 f"dataset has {self.size} rows < batch_size {batch_size} "
@@ -51,8 +58,11 @@ class ArrayDataset:
                         self.size)
             else:
                 order = np.arange(self.size)
-            limit = (self.size // batch_size) * batch_size if drop_last \
-                else self.size
+            if shard is not None:
+                k, n = shard
+                order = order[k::n]
+            limit = (order.size // batch_size) * batch_size if drop_last \
+                else order.size
             for start in range(0, limit, batch_size):
                 idx = order[start:start + batch_size]
                 yield {k: v[idx] for k, v in self.arrays.items()}

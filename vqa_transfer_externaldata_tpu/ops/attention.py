@@ -274,8 +274,10 @@ def _attention_bwd_math(v, qh, wv, ws, alpha, vatt, g, ga,
     dz = relu_mask * (ds[:, :, None] * ws.astype(f32)[None, None, :])
     dws = jnp.einsum("bn,bnh->h", ds, h, preferred_element_type=f32,
                      precision=hi)
-    dqh = jnp.sum(dz, axis=1).astype(qh.dtype)
+    # Single bf16 materialization of dz: dqh sums it with f32 accumulation,
+    # so the f32 version never hits HBM.
     dz_c = dz.astype(dt)
+    dqh = jnp.sum(dz_c, axis=1, dtype=f32).astype(qh.dtype)
     dwv = jnp.einsum("bnc,bnh->ch", v, dz_c, preferred_element_type=f32,
                      precision=hi)
     dv = (alpha[:, :, None] * g[:, None, :]) + jnp.einsum(
