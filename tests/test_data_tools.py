@@ -176,6 +176,41 @@ def test_real_artifact_training_path(vqa_json, tmp_path):
     assert os.path.exists(os.path.join(train_dir, "params_final"))
 
 
+def test_candidate_resampler(tmp_path):
+    from vqa_transfer_externaldata_tpu.data.datasets import ArrayDataset
+    from vqa_transfer_externaldata_tpu.data.visualgenome import (
+        CandidateResampler)
+
+    n, K = 32, 6
+    rng = np.random.default_rng(0)
+    task = rng.integers(0, 2, size=n).astype(np.int32)
+    pools = {0: [10, 11, 12, 13], 1: [20, 21, 22, 23]}
+    word = np.asarray([pools[int(t)][i % 4] for i, t in enumerate(task)],
+                      np.int32)
+    base = ArrayDataset({"task": task, "word": word,
+                         "feature": np.zeros((n, 4), np.float32)})
+    ds = CandidateResampler(base, pools, num_candidates=K, seed=1)
+    b1 = next(ds.batches(16, seed=0, epochs=1, shuffle=False))
+    # positive planted at label
+    np.testing.assert_array_equal(
+        b1["candidates"][np.arange(16), b1["label"]], b1["word"])
+    # candidates drawn from the row's own task pool
+    for i in range(16):
+        pool = set(pools[int(b1["task"][i])]) | {int(b1["word"][i])}
+        assert set(b1["candidates"][i].tolist()) <= pool
+    # fresh negatives across epochs within one stream (same rows, new
+    # candidate draws); a new identically-seeded stream is deterministic
+    it = ds.batches(16, seed=0, epochs=2, shuffle=False)
+    e0 = next(it)
+    next(it)  # second batch of epoch 0
+    e1 = next(it)  # same rows as e0, epoch 1
+    np.testing.assert_array_equal(e0["word"], e1["word"])
+    assert not np.array_equal(e0["candidates"], e1["candidates"])
+    it2 = ds.batches(16, seed=0, epochs=1, shuffle=False)
+    np.testing.assert_array_equal(e0["candidates"],
+                                  next(it2)["candidates"])
+
+
 def test_answer_holdout_oov_protocol(vqa_json, tmp_path):
     """Paper's OOV protocol: held-out answers become <unk> in training
     targets (masked from the loss) but keep their eval score rows."""

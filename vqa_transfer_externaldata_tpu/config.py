@@ -40,6 +40,9 @@ class DataConfig:
     pool5_dim: int = 2048
     num_answers: int = 2000  # top-K answer vocab size
     vocab_size: int = 8192  # question-word vocab size (padded for MXU tiling)
+    # vlmap: redraw same-task negatives each batch (vs the fixed
+    # preprocessing-time candidate sets).
+    resample_negatives: bool = True
     # Synthetic-data mode (tests / benchmarking without the real corpora).
     synthetic: bool = False
     synthetic_size: int = 1024

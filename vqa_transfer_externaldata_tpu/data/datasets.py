@@ -246,8 +246,24 @@ def load_dataset(cfg: Config, split: str, stage: str = "vqa",
 
         store = FeatureStore(cfg.data.feature_path)
         if stage == "vlmap":
-            return JoinedDataset(ds.arrays, store, index_key="region_index",
-                                 feature_keys=("feature",))
-        return JoinedDataset(ds.arrays, store, index_key="image_index",
-                             feature_keys=("features", "pool5"))
+            ds = JoinedDataset(ds.arrays, store, index_key="region_index",
+                               feature_keys=("feature",))
+        else:
+            ds = JoinedDataset(ds.arrays, store, index_key="image_index",
+                               feature_keys=("features", "pool5"))
+    if stage == "vlmap" and split == "train" and cfg.data.resample_negatives:
+        import json as _json
+
+        meta_path = os.path.join(cfg.data.dataset_dir, "vlmap_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = _json.load(fh)
+            if "task_words" in meta:
+                from vqa_transfer_externaldata_tpu.data.visualgenome import (
+                    CandidateResampler)
+
+                ds = CandidateResampler(
+                    ds, {int(t): ids
+                         for t, ids in meta["task_words"].items()},
+                    num_candidates=cfg.model.num_candidates)
     return ds

@@ -28,6 +28,47 @@ import numpy as np
 from vqa_transfer_externaldata_tpu.utils.logging import log
 from vqa_transfer_externaldata_tpu.utils.vocab import Vocab, tokenize
 
+class CandidateResampler:
+    """Wrap a vlmap dataset to redraw negative candidates every batch.
+
+    The stored artifacts carry a fixed (seeded) candidate set; the reference
+    era's queue-based samplers drew fresh negatives continuously. This
+    wrapper resamples same-task negatives per batch (deterministically from
+    a stream seeded by the base seed), planting each row's positive at a
+    random position — harder, non-repeating contrast sets.
+    """
+
+    def __init__(self, base, task_words: Dict[int, Sequence[int]],
+                 num_candidates: int, seed: int = 0) -> None:
+        self.base = base
+        self.arrays = base.arrays
+        self.size = base.size
+        self.pools = {int(t): np.asarray(ids, np.int32)
+                      for t, ids in task_words.items()}
+        self.K = num_candidates
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.size
+
+    def batches(self, batch_size: int, **kw):
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, 0xC0FFEE]))
+        for batch in self.base.batches(batch_size, **kw):
+            n = batch["word"].shape[0]
+            cands = np.empty((n, self.K), np.int32)
+            for t, pool in self.pools.items():
+                sel = np.where(batch["task"] == t)[0]
+                if sel.size:
+                    cands[sel] = rng.choice(pool, size=(sel.size, self.K))
+            label = rng.integers(0, self.K, size=n).astype(np.int32)
+            cands[np.arange(n), label] = batch["word"]
+            batch = dict(batch)
+            batch["candidates"] = cands
+            batch["label"] = label
+            yield batch
+
+
 STOPWORDS = frozenset(
     "a an the of in on at is are was were be been being with and or to "
     "for from by as it its this that these those there here very his her "
@@ -174,7 +215,12 @@ def build_vlmap_artifacts(
             np.savez_compressed(
                 os.path.join(out_dir, f"vlmap_{name}.npz"), **arrays)
     meta = {"task_names": task_names,
-            "num_examples": int(n), "num_words": len(words)}
+            "num_examples": int(n), "num_words": len(words),
+            # word-id pools per task: lets training resample fresh
+            # negatives every epoch (CandidateResampler) instead of
+            # reusing the fixed preprocessing-time candidate sets
+            "task_words": {str(t): [int(w) for w in ids]
+                           for t, ids in task_words.items()}}
     if out_dir is not None:
         with open(os.path.join(out_dir, "vlmap_meta.json"), "w") as fh:
             json.dump(meta, fh)
