@@ -66,6 +66,32 @@ def test_sharded_equals_single_device(tiny_config, tmp_path,
                                    err_msg=str(path))
 
 
+def test_steps_per_call_matches_single_step(tiny_config, tmp_path,
+                                            eight_cpu_devices):
+    """k fused steps per dispatch == k single-step dispatches (same data)."""
+    base = tiny_config.replace_flat({"model.model": "vqa_baseline",
+                                     "model.dropout": 0.0,
+                                     "train.log_every": 4,
+                                     "train.checkpoint_every": 8})
+    results = {}
+    for k in (1, 4):
+        cfg = base.replace_flat({"train.steps_per_call": k})
+        spec = build_model(cfg)
+        ds = load_dataset(cfg, "train", stage=spec.stage)
+        tr = Trainer(cfg, spec, train_dir=str(tmp_path / f"spc{k}"))
+        state = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+        state = tr.fit(ds.batches(cfg.train.batch_size, seed=0), state,
+                       max_steps=8)
+        results[k] = jax.device_get(state.params)
+        assert int(jax.device_get(state.step)) == 8
+        tr.close()
+    for (p1, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(results[1]),
+            jax.tree_util.tree_leaves_with_path(results[4])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(p1))
+
+
 def test_checkpoint_resume_bitwise(tiny_config, tmp_path,
                                    eight_cpu_devices):
     """Train 20+20 with a restart == train 40 straight (same data order)."""

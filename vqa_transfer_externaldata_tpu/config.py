@@ -98,6 +98,12 @@ class TrainConfig:
     # Host-side input prefetch depth (batches prepared ahead by a
     # background thread while the device runs; 0 disables).
     prefetch_batches: int = 2
+    # Train steps fused into one device dispatch (lax.scan over a stacked
+    # batch). Only helps when the host/dispatch path is the bottleneck —
+    # async dispatch already overlaps compute on a healthy setup (measured
+    # slower on v5e at batch 256: scan carry overhead > dispatch savings),
+    # so default 1. Logging/checkpoint cadence round to this granularity.
+    steps_per_call: int = 1
     # Transfer (stage-2) init: path to a stage-1 (vlmap) checkpoint whose
     # word/answer embedding space seeds the answer classifier (reference C12).
     pretrained_param_path: str = ""
