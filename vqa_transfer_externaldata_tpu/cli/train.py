@@ -71,7 +71,12 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
         state = trainer.restore(state)
         log.info("resumed from step %d", int(jax.device_get(state.step)))
 
-    batches = train_ds.batches(cfg.train.batch_size, seed=cfg.train.seed)
+    # Multi-host data parallelism: each process consumes a disjoint stride
+    # of the identically-seeded epoch permutation (single host: no-op).
+    shard = ((jax.process_index(), jax.process_count())
+             if jax.process_count() > 1 else None)
+    batches = train_ds.batches(cfg.train.batch_size, seed=cfg.train.seed,
+                               shard=shard)
     eval_fn = None
     if val_ds is not None:
         eval_fn = lambda: padded_batches(val_ds, cfg.train.batch_size)[0]

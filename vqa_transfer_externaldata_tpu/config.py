@@ -14,7 +14,7 @@ import argparse
 import dataclasses
 import json
 from dataclasses import dataclass, field, fields
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 
 # ---------------------------------------------------------------------------

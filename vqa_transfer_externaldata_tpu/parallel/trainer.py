@@ -12,7 +12,6 @@ sharding propagation (the rebuild's replacement for the reference's
 from __future__ import annotations
 
 import os
-import time
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import flax.struct
