@@ -117,6 +117,59 @@ def test_torch_state_dict_conversion():
         rtol=1e-3, atol=1e-4)
 
 
+def test_space_to_depth_stem_equivalence():
+    """The 4x4/s1 space-to-depth stem must reproduce the 7x7/s2 stem
+    exactly (pure weight rewrite)."""
+    import flax.linen as nn
+
+    from vqa_transfer_externaldata_tpu.ops.resnet import (
+        conv1_to_space_to_depth, space_to_depth)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    w7 = rng.normal(size=(7, 7, 3, 16)).astype(np.float32) * 0.1
+
+    conv7 = nn.Conv(16, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False)
+    y7 = conv7.apply({"params": {"kernel": jnp.asarray(w7)}}, x)
+
+    conv4 = nn.Conv(16, (4, 4), strides=(1, 1), padding=[(2, 1), (2, 1)],
+                    use_bias=False)
+    w4 = conv1_to_space_to_depth(w7)
+    y4 = conv4.apply({"params": {"kernel": jnp.asarray(w4)}},
+                     space_to_depth(x, 2))
+    assert y4.shape == y7.shape == (2, 16, 16, 16)
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(y7),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_space_to_depth_resnet_matches_conv_stem():
+    """Full tiny ResNet: both stems give identical outputs after the
+    kernel rewrite."""
+    from vqa_transfer_externaldata_tpu.ops.resnet import (
+        ResNetV1, conv1_to_space_to_depth)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)) * 20, jnp.float32)
+    m_conv = ResNetV1(stage_sizes=(1, 1, 1, 1), width=8, dtype=jnp.float32)
+    variables = m_conv.init(jax.random.PRNGKey(0), x, train=False)
+    out_conv = m_conv.apply(variables, x, train=False)
+
+    import copy
+
+    v2 = jax.tree_util.tree_map(lambda a: a, variables)
+    params2 = dict(v2["params"])
+    params2["conv1"] = {"kernel": jnp.asarray(conv1_to_space_to_depth(
+        np.asarray(variables["params"]["conv1"]["kernel"])))}
+    v2 = {"params": params2, "batch_stats": v2["batch_stats"]}
+    m_s2d = ResNetV1(stage_sizes=(1, 1, 1, 1), width=8, dtype=jnp.float32,
+                     stem="space_to_depth")
+    out_s2d = m_s2d.apply(v2, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_s2d["grid"]),
+                               np.asarray(out_conv["grid"]),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_end2end_model_forward(tiny_config):
     cfg = tiny_config.replace_flat({"model.model": "vqa_end2end",
                                     "data.image_size": 64})

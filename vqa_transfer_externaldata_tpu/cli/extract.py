@@ -59,7 +59,7 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
         sd = torch.load(args.torch_checkpoint, map_location="cpu",
                         weights_only=True)
         params, stats = convert_torch_state_dict(
-            {k: v.numpy() for k, v in sd.items()})
+            {k: v.numpy() for k, v in sd.items()}, stem="space_to_depth")
         variables = {"params": params, "batch_stats": stats}
         log.info("loaded pretrained ResNet-101 from %s",
                  args.torch_checkpoint)

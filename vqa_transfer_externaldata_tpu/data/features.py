@@ -139,6 +139,7 @@ def extract_features(
     variables=None,
     dtype: str = "bfloat16",
     fmt: str = "hdf5",  # "hdf5" | "raw" (mmap dir + native gather)
+    stem: str = "space_to_depth",  # 2.5x faster stem (ops/resnet.py)
 ) -> str:
     """Run the (jit) ResNet-101 extractor over images/crops -> feature file.
 
@@ -154,7 +155,7 @@ def extract_features(
     from vqa_transfer_externaldata_tpu.ops.resnet import (
         ResNetV1, preprocess_images)
 
-    model = ResNetV1(dtype=dtype_of(dtype))
+    model = ResNetV1(dtype=dtype_of(dtype), stem=stem)
     if variables is None:
         log.warning("extract_features: RANDOM ResNet weights (tests only)")
         variables = model.init(
