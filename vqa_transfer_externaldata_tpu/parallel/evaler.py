@@ -21,7 +21,12 @@ def padded_batches(ds: ArrayDataset, batch_size: int
                    ) -> Tuple[Iterator[Dict[str, np.ndarray]], int]:
     """Deterministic single-epoch batches covering EVERY row: the final
     partial batch is padded by repeating row 0 (static shapes for jit), and
-    the caller trims predictions back to ``len(ds)``."""
+    the caller trims predictions back to ``len(ds)``. Padded rows get
+    ``answer_id = <unk>`` so the masked VQA loss/accuracy exclude them from
+    the in-loop eval means (split-level vqa_accuracy is recomputed exactly
+    from the score table either way)."""
+    from vqa_transfer_externaldata_tpu.utils.vocab import UNK_ID
+
     n = len(ds)
     pad = (-n) % batch_size
 
@@ -30,6 +35,9 @@ def padded_batches(ds: ArrayDataset, batch_size: int
         if pad:
             arrays = {k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
                       for k, v in arrays.items()}
+            if "answer_id" in arrays:
+                arrays["answer_id"] = arrays["answer_id"].copy()
+                arrays["answer_id"][n:] = UNK_ID
         for start in range(0, n + pad, batch_size):
             yield {k: v[start:start + batch_size] for k, v in arrays.items()}
 
