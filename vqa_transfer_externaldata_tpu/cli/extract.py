@@ -33,7 +33,7 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
     p.add_argument("--image_dir", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--pattern", default="*.jpg")
-    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--image_size", type=int, default=448)
     p.add_argument("--torch_checkpoint", default=None,
                    help="torchvision-format resnet101 state_dict (.pth)")

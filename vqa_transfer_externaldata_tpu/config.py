@@ -62,6 +62,9 @@ class ModelConfig:
     dtype: str = "bfloat16"  # compute dtype on TPU; params stay float32
     use_pallas: bool = True  # fused Pallas kernels for hot ops
     glimpses: int = 1  # attention glimpses (vqa_attention2 sets 2)
+    # "cudnn" (TPU-fused, default) or "tf" (TF1-GRUCell-exact gate math
+    # for reference-checkpoint fidelity, ops/gru.TFGRUEncoder)
+    rnn_variant: str = "cudnn"
     # vlmap (stage-1) specific
     num_tasks: int = 32
     task_dim: int = 64
@@ -108,6 +111,10 @@ class TrainConfig:
     # word/answer embedding space seeds the answer classifier (reference C12).
     pretrained_param_path: str = ""
     donate_state: bool = True
+    # Rematerialize the forward in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for activation memory — enables
+    # larger batches / the raw-image model at bigger B.
+    remat: bool = False
 
 
 @dataclass

@@ -41,6 +41,7 @@ class VQAAttentionModel(nn.Module):
     use_pallas: bool = True
     normalize_v: bool = True
     glimpses: int = 1  # >1: multi-glimpse variant (XLA attention path)
+    rnn_variant: str = "cudnn"  # "tf": TF1-GRUCell-exact (fidelity)
     word_init: Optional[np.ndarray] = None  # [vocab, word_dim] GloVe
     answer_init: Optional[np.ndarray] = None  # [answers, answer_dim]
 
@@ -55,8 +56,14 @@ class VQAAttentionModel(nn.Module):
         words = WordEmbedding(self.vocab_size, self.word_dim,
                               init_matrix=self.word_init, dtype=dt,
                               name="word_emb")(q_ids)
-        q = GRUEncoder(self.rnn_dim, dtype=dt, use_pallas=self.use_pallas,
-                       name="gru")(words, mask)
+        if self.rnn_variant == "tf":
+            from vqa_transfer_externaldata_tpu.ops.gru import TFGRUEncoder
+
+            q = TFGRUEncoder(self.rnn_dim, dtype=dt, name="gru")(words, mask)
+        else:
+            q = GRUEncoder(self.rnn_dim, dtype=dt,
+                           use_pallas=self.use_pallas,
+                           name="gru")(words, mask)
 
         # --- single-glimpse spatial attention (fused Pallas kernel; the
         # per-cell L2 normalization is fused into the op) ----------------

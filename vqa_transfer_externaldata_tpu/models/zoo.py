@@ -47,6 +47,7 @@ def build_model(cfg: Config,
             fusion_dim=m.fusion_dim, att_hidden=m.att_hidden,
             answer_dim=m.answer_dim, dropout=m.dropout, dtype=dt,
             use_pallas=m.use_pallas, glimpses=glimpses,
+            rnn_variant=m.rnn_variant,
             word_init=word_init, answer_init=answer_init)
         return ModelSpec(module,
                          lambda b: (b["features"], b["q_ids"]),

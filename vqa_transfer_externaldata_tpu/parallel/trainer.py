@@ -132,15 +132,25 @@ class Trainer:
     def _build_train_step(self) -> Callable:
         spec, tx, lr_fn = self.spec, self.tx, self.lr_fn
 
+        remat = self.cfg.train.remat
+
         def step_fn(state: TrainState,
                     batch: Dict[str, jax.Array]):
             rng, dropout_rng = jax.random.split(state.rng)
 
-            def loss_fn(params):
-                outputs = spec.module.apply(
+            def forward(params, batch, dropout_rng):
+                return spec.module.apply(
                     {"params": params, **state.extra_vars},
                     *spec.inputs(batch), train=True,
                     rngs={"dropout": dropout_rng})
+
+            if remat:
+                # Rematerialize activations in the backward pass
+                # (jax.checkpoint): FLOPs for memory.
+                forward = jax.checkpoint(forward)
+
+            def loss_fn(params):
+                outputs = forward(params, batch, dropout_rng)
                 loss, metrics = spec.loss(outputs, batch)
                 return loss, metrics
 
