@@ -1,0 +1,26 @@
+# Convenience targets. The framework itself builds nothing at install time;
+# the native IO library compiles on demand (data/native.py) — `make native`
+# just forces it ahead of time.
+
+PY ?= python
+
+.PHONY: test native bench dryrun clean
+
+test:
+	$(PY) -m pytest tests/ -q
+
+native:
+	$(PY) -c "from vqa_transfer_externaldata_tpu.data import native; \
+	          assert native.available(), 'native build failed'; \
+	          print('native IO library ready')"
+
+bench:
+	$(PY) bench.py
+
+dryrun:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+	$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+clean:
+	rm -rf vqa_transfer_externaldata_tpu/native/_build \
+	       .pytest_cache $(shell find . -name __pycache__ -type d)

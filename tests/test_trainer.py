@@ -66,6 +66,33 @@ def test_sharded_equals_single_device(tiny_config, tmp_path,
                                    err_msg=str(path))
 
 
+def test_device_resident_matches_streaming(tiny_config, tmp_path,
+                                           eight_cpu_devices):
+    """fit_resident (on-device gather by indices) == streaming fit."""
+    cfg = tiny_config.replace_flat({"model.model": "vqa_baseline",
+                                    "model.dropout": 0.0,
+                                    "model.dtype": "float32"})
+    spec = build_model(cfg)
+    ds = load_dataset(cfg, "train", stage=spec.stage)
+
+    tr_a = Trainer(cfg, spec, train_dir=str(tmp_path / "stream"))
+    sa = tr_a.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    sa = tr_a.fit(ds.batches(cfg.train.batch_size, seed=cfg.train.seed),
+                  sa, max_steps=6)
+    tr_a.close()
+
+    tr_b = Trainer(cfg, spec, train_dir=str(tmp_path / "resident"))
+    sb = tr_b.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    sb = tr_b.fit_resident(ds, sb, max_steps=6)
+    tr_b.close()
+
+    for (p, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(jax.device_get(sa.params)),
+            jax.tree_util.tree_leaves_with_path(jax.device_get(sb.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(p))
+
+
 def test_remat_matches_no_remat(tiny_config, tmp_path, eight_cpu_devices):
     """jax.checkpoint changes memory, not math: params must match."""
     base = tiny_config.replace_flat({"model.model": "vqa_attention",

@@ -71,16 +71,28 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
         state = trainer.restore(state)
         log.info("resumed from step %d", int(jax.device_get(state.step)))
 
-    # Multi-host data parallelism: each process consumes a disjoint stride
-    # of the identically-seeded epoch permutation (single host: no-op).
-    shard = ((jax.process_index(), jax.process_count())
-             if jax.process_count() > 1 else None)
-    batches = train_ds.batches(cfg.train.batch_size, seed=cfg.train.seed,
-                               shard=shard)
     eval_fn = None
     if val_ds is not None:
         eval_fn = lambda: padded_batches(val_ds, cfg.train.batch_size)[0]
-    state = trainer.fit(batches, state, eval_batches_fn=eval_fn)
+    from vqa_transfer_externaldata_tpu.data.datasets import ArrayDataset
+
+    if cfg.train.device_data_cache and type(train_ds) is ArrayDataset:
+        # Whole dataset uploaded once; per-step traffic = batch indices.
+        state = trainer.fit_resident(train_ds, state,
+                                     eval_batches_fn=eval_fn)
+    else:
+        if cfg.train.device_data_cache:
+            log.warning("device_data_cache requires a plain ArrayDataset "
+                        "(got %s); streaming batches instead",
+                        type(train_ds).__name__)
+        # Multi-host data parallelism: each process consumes a disjoint
+        # stride of the identically-seeded epoch permutation (single
+        # host: no-op).
+        shard = ((jax.process_index(), jax.process_count())
+                 if jax.process_count() > 1 else None)
+        batches = train_ds.batches(cfg.train.batch_size,
+                                   seed=cfg.train.seed, shard=shard)
+        state = trainer.fit(batches, state, eval_batches_fn=eval_fn)
 
     # Publish final params as a standalone artifact for transfer/eval.
     final_path = os.path.join(train_dir, "params_final")

@@ -115,6 +115,12 @@ class TrainConfig:
     # trades ~1 extra forward of FLOPs for activation memory — enables
     # larger batches / the raw-image model at bigger B.
     remat: bool = False
+    # Upload the WHOLE dataset to device once and gather batches on-device
+    # by index (only [batch] int32 indices cross the host link per step).
+    # For datasets that fit in HBM; essential when host->device bandwidth
+    # is poor (this box's TPU relay moves 0.06 GB/s — a 411MB f32 batch
+    # costs 6.7s/step uploaded, ~0 device-resident).
+    device_data_cache: bool = False
 
 
 @dataclass

@@ -46,6 +46,18 @@ class ArrayDataset:
         takes every n-th row of the (identically-seeded) epoch permutation,
         so the union over processes covers each epoch exactly once.
         """
+        for idx in self.index_batches(batch_size, shuffle=shuffle,
+                                      seed=seed, epochs=epochs,
+                                      drop_last=drop_last, shard=shard):
+            yield {k: v[idx] for k, v in self.arrays.items()}
+
+    def index_batches(self, batch_size: int, *, shuffle: bool = True,
+                      seed: int = 0, epochs: Optional[int] = None,
+                      drop_last: bool = True,
+                      shard: Optional[tuple] = None
+                      ) -> Iterator[np.ndarray]:
+        """The index stream behind :meth:`batches` — used directly by the
+        device-resident training path (only indices cross the host link)."""
         if drop_last and self.size < batch_size:
             raise ValueError(
                 f"dataset has {self.size} rows < batch_size {batch_size} "
@@ -64,8 +76,7 @@ class ArrayDataset:
             limit = (order.size // batch_size) * batch_size if drop_last \
                 else order.size
             for start in range(0, limit, batch_size):
-                idx = order[start:start + batch_size]
-                yield {k: v[idx] for k, v in self.arrays.items()}
+                yield order[start:start + batch_size].astype(np.int32)
             epoch += 1
 
     def save(self, path: str) -> None:
@@ -90,7 +101,7 @@ class ArrayDataset:
 def _synth_cache_path(tag: str, cfg: Config, n: int, seed: int,
                       extra: str = "") -> str:
     d = cfg.data
-    key = (f"{tag}_n{n}_s{seed}_v{d.vocab_size}_a{d.num_answers}"
+    key = (f"{tag}2_n{n}_s{seed}_v{d.vocab_size}_a{d.num_answers}"
            f"_g{d.grid_h}x{d.grid_w}_f{d.feature_dim}_p{d.pool5_dim}"
            f"_t{d.max_question_len}_m{cfg.model.model}"
            f"_k{cfg.model.num_candidates}_nt{cfg.model.num_tasks}{extra}")
@@ -143,7 +154,8 @@ def synthetic_vqa(cfg: Config, *, size: Optional[int] = None,
         rank = 32
         thin = rng.standard_normal((n * N, rank), dtype=np.float32)
         mix = np.random.default_rng(99).standard_normal(
-            (rank, d.feature_dim), dtype=np.float32) / np.sqrt(rank)
+            (rank, d.feature_dim), dtype=np.float32)
+        mix /= np.float32(np.sqrt(rank))  # f32 scalar: avoid f64 promotion
         grid = (thin @ mix).reshape(n, N, d.feature_dim)
         grid += pool5[:, None, : d.feature_dim]  # grid agrees with pool5
         arrays["features"] = grid

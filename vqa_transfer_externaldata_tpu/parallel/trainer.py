@@ -167,6 +167,7 @@ class Trainer:
                                    extra_vars=state.extra_vars)
             return new_state, metrics
 
+        self._raw_step_fn = step_fn  # reused by the device-resident path
         donate = (0,) if self.cfg.train.donate_state else ()
         k = self.cfg.train.steps_per_call
         if k > 1:
@@ -247,7 +248,7 @@ class Trainer:
                 state, pending = self._train_step(state, batch)
                 step += k
             else:
-                batch = next(train_batches)
+                batch = self._cast_features_host(next(train_batches))
                 batch = jax.device_put(batch, self._bshard)
                 state, pending = self._train_step(state, batch)
                 step += 1
@@ -282,6 +283,95 @@ class Trainer:
             self.ckpt.save(final, state, force=True)
             self.ckpt.wait()
         return state
+
+    def fit_resident(self, ds, state: TrainState,
+                     eval_batches_fn: Optional[Callable[[], Iterator]] = None,
+                     max_steps: Optional[int] = None) -> TrainState:
+        """Device-resident training (train.device_data_cache): the whole
+        dataset is uploaded once (float features cast to the compute dtype
+        host-side, halving the transfer) and each step gathers its batch
+        on-device from a [batch]-int32 index vector — the only per-step
+        host->device traffic. For datasets that fit in HBM; essential when
+        the host link is slow (this box's relay: 0.06 GB/s)."""
+        t = self.cfg.train
+        max_steps = max_steps if max_steps is not None else t.max_steps
+        arrays = {k: np.asarray(v) for k, v in ds.arrays.items()}
+        arrays = self._cast_features_host(arrays)
+        nbytes = sum(v.nbytes for v in arrays.values())
+        log.info("device-resident dataset: %d rows, %.2f GB uploaded once",
+                 ds.size, nbytes / 1e9)
+        dev_arrays = jax.device_put(arrays, self._repl)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        idx_shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+        raw_step = self._raw_step_fn
+
+        # The dataset is a jit ARGUMENT, not a closure capture — captured
+        # arrays get embedded as HLO constants and shipped to the compiler
+        # (the remote compile service rejects the GB-sized request).
+        def step_idx(state, idx, data):
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            return raw_step(state, batch)
+
+        donate = (0,) if t.donate_state else ()
+        step = jax.jit(step_idx,
+                       in_shardings=(self._repl, idx_shard, self._repl),
+                       out_shardings=(self._repl, self._repl),
+                       donate_argnums=donate)
+
+        timer = Timer()
+        pending: Dict[str, jax.Array] = {}
+        stepno = int(jax.device_get(state.step))
+        last_log = stepno
+        indices = ds.index_batches(t.batch_size, seed=t.seed)
+        log.info("training (device-resident) from step %d to %d over %s",
+                 stepno, max_steps, self.mesh)
+        while stepno < max_steps:
+            idx = jax.device_put(next(indices), idx_shard)
+            state, pending = step(state, idx, dev_arrays)
+            stepno += 1
+            if stepno % t.log_every == 0 or stepno >= max_steps:
+                m = {key: float(jax.device_get(v))
+                     for key, v in pending.items()}
+                dt = timer.reset()
+                m["steps_per_sec"] = (stepno - last_log) / max(dt, 1e-9)
+                m["questions_per_sec"] = m["steps_per_sec"] * t.batch_size
+                last_log = stepno
+                self.metrics.write(stepno, m, prefix="train")
+                log.info("step %6d  loss %.4f  acc %.4f  %.1f q/s", stepno,
+                         m.get("loss", float("nan")),
+                         m.get("accuracy", float("nan")),
+                         m["questions_per_sec"])
+            if eval_batches_fn is not None and stepno % t.eval_every == 0:
+                eval_metrics, _ = self.evaluate(state, eval_batches_fn())
+                self.metrics.write(stepno, eval_metrics, prefix="val")
+                log.info("eval @ %d: %s", stepno,
+                         {k: round(v, 4) for k, v in eval_metrics.items()})
+            self.ckpt.save(stepno, state)
+        self.ckpt.wait()
+        final = int(jax.device_get(state.step))
+        if self.ckpt.latest_step() != final:
+            self.ckpt.save(final, state, force=True)
+            self.ckpt.wait()
+        return state
+
+    def _cast_features_host(self, arrays: Dict[str, np.ndarray]
+                            ) -> Dict[str, np.ndarray]:
+        """Cast float32 feature arrays to the model compute dtype on host
+        (bf16 halves host->device bytes; params/labels untouched)."""
+        from vqa_transfer_externaldata_tpu.ops.layers import dtype_of
+
+        dt = dtype_of(self.cfg.model.dtype)
+        if dt == jnp.float32:
+            return arrays
+        import ml_dtypes
+
+        np_dt = ml_dtypes.bfloat16 if dt == jnp.bfloat16 else np.float16
+        out = dict(arrays)
+        for key in ("features", "feature", "pool5"):
+            if key in out and out[key].dtype == np.float32:
+                out[key] = out[key].astype(np_dt)
+        return out
 
     def evaluate(self, state: TrainState,
                  batches: Iterator[Dict[str, np.ndarray]]
