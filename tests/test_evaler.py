@@ -32,3 +32,33 @@ def test_padded_batches_exact_multiple_is_untouched():
     batches = list(gen)
     assert n == 8 and len(batches) == 2
     assert all((b["answer_id"] == 3).all() for b in batches)
+
+
+def test_evaluate_split_oov_breakdown(tiny_config, tmp_path,
+                                      eight_cpu_devices):
+    """In-/out-of-vocab accuracy split from the precomputed score table."""
+    import jax
+
+    from vqa_transfer_externaldata_tpu.data.datasets import load_dataset
+    from vqa_transfer_externaldata_tpu.models.zoo import build_model
+    from vqa_transfer_externaldata_tpu.parallel.evaler import evaluate_split
+    from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
+
+    cfg = tiny_config.replace_flat({"model.model": "vqa_baseline"})
+    spec = build_model(cfg)
+    ds = load_dataset(cfg, "val", stage="vqa")  # has answer_scores
+    trainer = Trainer(cfg, spec, train_dir=str(tmp_path / "ev"))
+    state = trainer.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    oov_ids = np.unique(ds.arrays["answer_id"])[:2]  # mark 2 answers OOV
+    metrics, preds = evaluate_split(trainer, state, ds,
+                                    oov_answer_ids=oov_ids)
+    assert preds.shape[0] == len(ds)
+    assert "vqa_accuracy_oov_answers" in metrics
+    assert "vqa_accuracy_in_vocab_answers" in metrics
+    # overall accuracy is a weighted mix of the two splits
+    oov_mask = np.isin(ds.arrays["answer_id"], oov_ids)
+    w = oov_mask.mean()
+    mixed = (w * metrics["vqa_accuracy_oov_answers"]
+             + (1 - w) * metrics["vqa_accuracy_in_vocab_answers"])
+    assert abs(mixed - metrics["vqa_accuracy"]) < 1e-6
+    trainer.close()

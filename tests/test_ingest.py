@@ -69,6 +69,29 @@ def test_grain_pipeline(tmp_path):
     assert abs(int(b["images"][0].mean()) - 40 * row0_img) <= 5
 
 
+def test_two_glimpse_trains(tiny_config, tmp_path):
+    """vqa_attention2 learns (loss decreases) through the multi-glimpse
+    attention path on the shared trainer."""
+    from vqa_transfer_externaldata_tpu.data.datasets import load_dataset
+    from vqa_transfer_externaldata_tpu.models.zoo import build_model
+    from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
+
+    cfg = tiny_config.replace_flat({"model.model": "vqa_attention2"})
+    spec = build_model(cfg)
+    ds = load_dataset(cfg, "train")
+    tr = Trainer(cfg, spec, train_dir=str(tmp_path / "g2"))
+    state = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    state = tr.fit(ds.batches(cfg.train.batch_size, seed=0), state,
+                   max_steps=40)
+    import json, os
+
+    with open(os.path.join(str(tmp_path / "g2"), "metrics.jsonl")) as fh:
+        losses = [json.loads(l)["train/loss"] for l in fh
+                  if "train/loss" in l]
+    assert losses[-1] < losses[0] * 0.9, losses
+    tr.close()
+
+
 def test_two_glimpse_variant(tiny_config):
     from vqa_transfer_externaldata_tpu.data.datasets import load_dataset
     from vqa_transfer_externaldata_tpu.models.zoo import build_model
