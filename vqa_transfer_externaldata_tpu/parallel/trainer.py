@@ -381,6 +381,9 @@ class Trainer:
         count = 0
         preds = []
         for batch in batches:
+            # Same bf16 the model would cast to on device — halves the
+            # host->device bytes at identical numerics.
+            batch = self._cast_features_host(batch)
             batch = jax.device_put(batch, self._bshard)
             p, m = self._eval_step(state.params, state.extra_vars, batch)
             preds.append(np.asarray(jax.device_get(p)))
