@@ -45,6 +45,29 @@ def test_accuracy_min_cap():
     assert metrics.vqa_accuracy("2", ["two"] * 10) == 1.0
 
 
+def test_normalize_idempotent():
+    """Normalizing twice must equal normalizing once (eval code may see
+    already-normalized strings from preprocessed artifacts)."""
+    cases = ["Isn't it a Dog?", "two, three", "none", "1,000 people",
+             "he's running", "y'all"]
+    for c in cases:
+        once = metrics.normalize_answer(c)
+        assert metrics.normalize_answer(once) == once, c
+
+
+def test_accuracy_symmetry_under_gt_order():
+    gts = ["cat"] * 3 + ["dog"] * 7
+    import random
+
+    rng = random.Random(0)
+    base = metrics.vqa_accuracy("cat", gts)
+    for _ in range(5):
+        shuffled = gts[:]
+        rng.shuffle(shuffled)
+        # equal up to float summation order
+        assert abs(metrics.vqa_accuracy("cat", shuffled) - base) < 1e-12
+
+
 def test_answer_scores_and_soft_accuracy():
     a2i = {"yes": 4, "no": 5, "2": 6}
     gts = ["yes"] * 5 + ["no"] * 5

@@ -53,6 +53,24 @@ def test_glove_matrix_roundtrip(tmp_path):
     assert np.array_equal(V.load_matrix(path), mat)
 
 
+def test_vocab_json_roundtrip(tmp_path):
+    v = V.Vocab.build(["what color is the cat", "how many dogs"])
+    path = str(tmp_path / "vocab.json")
+    v.save(path)
+    v2 = V.Vocab.load(path)
+    assert v2.tokens == v.tokens
+    assert v2.token_to_id == v.token_to_id
+
+
+def test_decode_skips_padding_only():
+    v = V.Vocab.build(["cat dog"])
+    ids, _ = v.encode("cat dog", max_len=5)
+    # decode drops <pad> but keeps <unk>
+    assert v.decode(ids) == ["cat", "dog"]
+    ids2, _ = v.encode("cat unicorn", max_len=5)
+    assert v.decode(ids2) == ["cat", V.UNK]
+
+
 def test_glove_txt_parse(tmp_path):
     p = tmp_path / "glove.txt"
     p.write_text("cat 1.0 2.0 3.0\ndog 4.0 5.0 6.0\nbad 1.0\n")
