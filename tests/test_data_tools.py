@@ -170,10 +170,26 @@ def test_real_artifact_training_path(vqa_json, tmp_path):
         "--model.att_hidden", "8", "--model.answer_dim", "8",
         "--model.dtype", "float32", "--model.dropout", "0.0",
         "--train.batch_size", "8", "--train.max_steps", "3",
-        "--train.log_every", "1", "--train.eval_every", "10000",
+        "--train.log_every", "1", "--train.eval_every", "2",
         "--train.checkpoint_every", "100",
         "--train.train_dir", str(tmp_path / "run")])
     assert os.path.exists(os.path.join(train_dir, "params_final"))
+
+    # The eval CLI against the same feature-store-backed run: padded_batches
+    # must route through JoinedDataset.take so batches carry features/pool5
+    # (regression: reading ds.arrays directly crashed every real-data eval).
+    from vqa_transfer_externaldata_tpu.cli.eval import main as eval_main
+
+    # batch 16 over 8 rows: the single batch is tail-padded through take().
+    metrics = eval_main(["--train.train_dir", train_dir,
+                         "--train.batch_size", "16"])
+    assert "vqa_accuracy" in metrics
+    results_path = os.path.join(train_dir, "results_val.json")
+    assert os.path.exists(results_path)
+    with open(results_path) as fh:
+        results = json.load(fh)
+    assert len(results) == 8  # every val question answered, none padded
+    assert {"question_id", "answer"} <= set(results[0])
 
 
 def test_candidate_resampler(tmp_path):

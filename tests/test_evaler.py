@@ -34,6 +34,43 @@ def test_padded_batches_exact_multiple_is_untouched():
     assert all((b["answer_id"] == 3).all() for b in batches)
 
 
+def test_padded_batches_carry_example_mask():
+    ds = ArrayDataset({"answer_id": np.full((10,), 3, np.int32)})
+    gen, _ = padded_batches(ds, 4)
+    batches = list(gen)
+    np.testing.assert_array_equal(batches[0]["example_mask"], np.ones(4))
+    np.testing.assert_array_equal(batches[-1]["example_mask"],
+                                  [1.0, 1.0, 0.0, 0.0])
+
+
+def test_eval_means_are_pad_invariant(tiny_config, tmp_path,
+                                      eight_cpu_devices):
+    """Split-level loss/accuracy must not depend on the eval batch size:
+    valid-row weighting keeps the padded final batch from diluting means
+    (regression: per-batch means were averaged unweighted)."""
+    from vqa_transfer_externaldata_tpu.data.datasets import load_dataset
+    from vqa_transfer_externaldata_tpu.models.zoo import build_model
+    from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
+
+    base = tiny_config.replace_flat({"model.model": "vqa_baseline",
+                                     "model.dropout": 0.0,
+                                     "data.synthetic_size": 24})
+    ds = load_dataset(base, "val", stage="vqa", size=24)
+    means = {}
+    for bs in (8, 16):  # 24 rows: bs=8 exact, bs=16 pads 8 rows
+        cfg = base.replace_flat({"train.batch_size": bs})
+        spec = build_model(cfg)
+        trainer = Trainer(cfg, spec, train_dir=str(tmp_path / f"ev{bs}"))
+        state = trainer.init_state(
+            next(ds.batches(1, epochs=1, shuffle=False)))
+        m, preds = trainer.evaluate(state, padded_batches(ds, bs)[0])
+        assert preds.shape[0] >= 24
+        means[bs] = m
+        trainer.close()
+    for key in ("loss", "accuracy", "vqa_accuracy"):
+        assert abs(means[8][key] - means[16][key]) < 1e-5, key
+
+
 def test_evaluate_split_oov_breakdown(tiny_config, tmp_path,
                                       eight_cpu_devices):
     """In-/out-of-vocab accuracy split from the precomputed score table."""

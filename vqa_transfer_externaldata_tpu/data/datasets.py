@@ -35,6 +35,13 @@ class ArrayDataset:
     def __len__(self) -> int:
         return self.size
 
+    def take(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        """Materialize the rows at ``idx`` as a batch dict. Subclasses with
+        lazy columns (JoinedDataset's feature join) override this — it is
+        the single row-materialization point every batch path goes through
+        (batches, padded_batches, the evaler)."""
+        return {k: v[idx] for k, v in self.arrays.items()}
+
     def batches(self, batch_size: int, *, shuffle: bool = True,
                 seed: int = 0, epochs: Optional[int] = None,
                 drop_last: bool = True,
@@ -49,7 +56,7 @@ class ArrayDataset:
         for idx in self.index_batches(batch_size, shuffle=shuffle,
                                       seed=seed, epochs=epochs,
                                       drop_last=drop_last, shard=shard):
-            yield {k: v[idx] for k, v in self.arrays.items()}
+            yield self.take(idx)
 
     def index_batches(self, batch_size: int, *, shuffle: bool = True,
                       seed: int = 0, epochs: Optional[int] = None,

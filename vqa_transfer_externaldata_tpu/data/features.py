@@ -17,7 +17,7 @@ deduplicated on disk exactly like the reference's per-image HDF5 layout.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -101,15 +101,19 @@ class JoinedDataset(ArrayDataset):
         self.index_key = index_key
         self.feature_keys = tuple(feature_keys)
 
-    def batches(self, batch_size: int, **kw) -> Iterator[Dict[str, np.ndarray]]:
-        for batch in super().batches(batch_size, **kw):
-            feats = self.store.gather(batch[self.index_key])
-            for key in self.feature_keys:
-                if key == "feature":  # vlmap: region pool5 vector
-                    batch["feature"] = feats["pool5"]
-                else:
-                    batch[key] = feats[key]
-            yield batch
+    def take(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        """Row slice + feature join — every batch path (training batches,
+        the evaler's padded epoch, serving) materializes rows through here,
+        so feature-store-backed runs always carry ``features``/``pool5``/
+        ``feature`` keys."""
+        batch = super().take(idx)
+        feats = self.store.gather(batch[self.index_key])
+        for key in self.feature_keys:
+            if key == "feature":  # vlmap: region pool5 vector
+                batch["feature"] = feats["pool5"]
+            else:
+                batch[key] = feats[key]
+        return batch
 
 
 # ---------------------------------------------------------------------------

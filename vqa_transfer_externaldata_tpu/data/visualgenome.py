@@ -51,6 +51,11 @@ class CandidateResampler:
     def __len__(self) -> int:
         return self.size
 
+    def take(self, idx):
+        """Evaler path: the stored (fixed, seeded) candidate sets — fresh
+        negatives are a training-only concern; eval must be deterministic."""
+        return self.base.take(idx)
+
     def batches(self, batch_size: int, **kw):
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, 0xC0FFEE]))

@@ -95,11 +95,17 @@ class _WordTable(nn.Module):
 
 def vlmap_loss(outputs: Dict[str, jnp.ndarray],
                batch: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Dict]:
-    """Softmax CE over the K candidate words (reference C6 losses)."""
+    """Softmax CE over the K candidate words (reference C6 losses).
+    ``example_mask`` (attached by the evaler's padded epoch) zeroes padded
+    rows; ``weight`` lets split-level means weight batches exactly."""
     logits = outputs["logits"].astype(jnp.float32)
     labels = batch["label"]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-    loss = jnp.mean(nll)
-    acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-    return loss, {"loss": loss, "accuracy": acc}
+    w = (batch["example_mask"].astype(jnp.float32)
+         if "example_mask" in batch else jnp.ones_like(nll))
+    denom = jnp.maximum(w.sum(), 1.0)
+    loss = jnp.sum(nll * w) / denom
+    hit = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+    acc = jnp.sum(hit * w) / denom
+    return loss, {"loss": loss, "accuracy": acc, "weight": w.sum()}

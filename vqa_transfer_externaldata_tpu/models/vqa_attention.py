@@ -127,19 +127,28 @@ def vqa_loss(outputs: Dict[str, jnp.ndarray],
              batch: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Dict]:
     """Softmax CE on the target answer id; questions whose answer fell out
     of the top-K vocab (<unk>) carry zero weight, matching the reference's
-    answer-in-vocab training filter (SURVEY.md C2/C8)."""
+    answer-in-vocab training filter (SURVEY.md C2/C8).
+
+    ``example_mask`` (0/1 per row, attached by the evaler's padded epoch)
+    additionally zeroes padded rows; ``weight`` in the returned metrics is
+    the valid-row count so split-level means can weight per-batch means
+    exactly instead of diluting against the padded final batch."""
     logits = outputs["logits"].astype(jnp.float32)
     labels = batch["answer_id"]
     weight = (labels != UNK_ID).astype(jnp.float32)
+    if "example_mask" in batch:
+        weight = weight * batch["example_mask"].astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
     denom = jnp.maximum(weight.sum(), 1.0)
     loss = jnp.sum(nll * weight) / denom
     pred = jnp.argmax(logits, axis=-1)
     acc = jnp.sum((pred == labels).astype(jnp.float32) * weight) / denom
-    metrics = {"loss": loss, "accuracy": acc}
+    metrics = {"loss": loss, "accuracy": acc, "weight": weight.sum()}
     if "answer_scores" in batch:
         rows = jnp.arange(pred.shape[0])
-        metrics["vqa_accuracy"] = jnp.mean(
-            batch["answer_scores"][rows, pred])
+        # In-loop indicator, weighted like loss/accuracy; evaluate_split
+        # recomputes the exact split-level number from the score table.
+        metrics["vqa_accuracy"] = jnp.sum(
+            batch["answer_scores"][rows, pred] * weight) / denom
     return loss, metrics

@@ -24,22 +24,32 @@ def padded_batches(ds: ArrayDataset, batch_size: int
     the caller trims predictions back to ``len(ds)``. Padded rows get
     ``answer_id = <unk>`` so the masked VQA loss/accuracy exclude them from
     the in-loop eval means (split-level vqa_accuracy is recomputed exactly
-    from the score table either way)."""
+    from the score table either way).
+
+    Rows are materialized through ``ds.take`` — the single point where lazy
+    columns (JoinedDataset's feature-store join) attach — so feature-backed
+    runs evaluate identically to in-memory ones."""
     from vqa_transfer_externaldata_tpu.utils.vocab import UNK_ID
 
     n = len(ds)
     pad = (-n) % batch_size
 
     def gen():
-        arrays = ds.arrays
-        if pad:
-            arrays = {k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
-                      for k, v in arrays.items()}
-            if "answer_id" in arrays:
-                arrays["answer_id"] = arrays["answer_id"].copy()
-                arrays["answer_id"][n:] = UNK_ID
         for start in range(0, n + pad, batch_size):
-            yield {k: v[start:start + batch_size] for k, v in arrays.items()}
+            stop = min(start + batch_size, n)
+            idx = np.arange(start, stop)
+            if stop - start < batch_size:  # pad the tail with row 0
+                idx = np.concatenate(
+                    [idx, np.zeros(batch_size - idx.size, idx.dtype)])
+            batch = ds.take(idx)
+            mask = np.ones((batch_size,), np.float32)
+            if stop - start < batch_size:
+                mask[stop - start:] = 0.0
+                if "answer_id" in batch:
+                    batch["answer_id"] = batch["answer_id"].copy()
+                    batch["answer_id"][stop - start:] = UNK_ID
+            batch["example_mask"] = mask
+            yield batch
 
     return gen(), n
 

@@ -160,6 +160,7 @@ class Trainer:
                                            state.params)
             params = optax.apply_updates(state.params, updates)
             metrics = dict(metrics)
+            metrics.pop("weight", None)  # eval-weighting aid, not a metric
             metrics["grad_norm"] = optax.global_norm(grads)
             metrics["lr"] = lr_fn(state.step)
             new_state = TrainState(step=state.step + 1, params=params,
@@ -238,7 +239,7 @@ class Trainer:
                          step, profile_until)
             k = t.steps_per_call
             if k > 1:
-                group = [next(train_batches)
+                group = [self._cast_features_host(next(train_batches))
                          for _ in range(min(k, max_steps - step))]
                 while len(group) < k:  # static shapes for the last call
                     group.append(group[-1])
@@ -271,7 +272,8 @@ class Trainer:
                          m.get("loss", float("nan")),
                          m.get("accuracy", float("nan")),
                          m["questions_per_sec"])
-            if eval_batches_fn is not None and step % t.eval_every == 0:
+            if (eval_batches_fn is not None
+                    and step % t.eval_every < max(1, t.steps_per_call)):
                 eval_metrics, _ = self.evaluate(state, eval_batches_fn())
                 self.metrics.write(step, eval_metrics, prefix="val")
                 log.info("eval @ %d: %s", step,
@@ -376,8 +378,12 @@ class Trainer:
     def evaluate(self, state: TrainState,
                  batches: Iterator[Dict[str, np.ndarray]]
                  ) -> Tuple[Dict[str, float], np.ndarray]:
-        """Full-split eval: mean metrics + concatenated predicted ids."""
+        """Full-split eval: valid-row-weighted mean metrics + concatenated
+        predicted ids. Per-batch means are weighted by the batch's valid-row
+        count (the loss's ``weight`` metric) so the padded/partially-masked
+        final batch cannot dilute the split-level numbers."""
         sums: Dict[str, float] = {}
+        total_w = 0.0
         count = 0
         preds = []
         for batch in batches:
@@ -387,10 +393,13 @@ class Trainer:
             batch = jax.device_put(batch, self._bshard)
             p, m = self._eval_step(state.params, state.extra_vars, batch)
             preds.append(np.asarray(jax.device_get(p)))
+            m = {k: float(jax.device_get(v)) for k, v in m.items()}
+            w = m.pop("weight", 1.0)
+            total_w += w
             for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + float(jax.device_get(v))
+                sums[k] = sums.get(k, 0.0) + v * w
             count += 1
-        means = {k: v / max(count, 1) for k, v in sums.items()}
+        means = {k: v / max(total_w, 1e-9) for k, v in sums.items()}
         return means, (np.concatenate(preds) if preds
                        else np.zeros((0,), np.int32))
 
