@@ -74,3 +74,51 @@ def test_params_roundtrip_via_orbax(tiny_config, tmp_path):
             jax.tree_util.tree_leaves_with_path(back)):
         assert p1 == p2
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_transfer_init_nested_head_params(tiny_config):
+    """vqa_end2end keeps its tables under head/: tree-path search must
+    resolve them (regression: top-level key lookup raised KeyError)."""
+    cfg = tiny_config
+    word_vocab, answer_vocab = synthetic_vocabs(cfg)
+    vq = _init_params(cfg, "vqa_attention")
+    nested = {"resnet": {"conv1": {"kernel": np.zeros((3, 3), np.float32)}},
+              "head": vq}
+    vl = _init_params(cfg, "vlmap")
+    marked = np.asarray(vl["word_emb"]["embedding"]).copy()
+    marked[:] = np.arange(marked.shape[0])[:, None]
+    vl["word_emb"] = {"embedding": marked}
+
+    out = transfer_init(nested, vl, word_vocab, answer_vocab)
+    np.testing.assert_array_equal(
+        np.asarray(out["head"]["word_emb"]["embedding"]), marked)
+    a_id = answer_vocab.token_to_id["w3"]
+    w_id = word_vocab.token_to_id["w3"]
+    np.testing.assert_allclose(
+        np.asarray(out["head"]["answer_embedding"])[a_id], marked[w_id])
+    # siblings untouched (same objects, not copies)
+    assert out["resnet"] is nested["resnet"]
+
+
+def test_transfer_init_baseline_without_answer_table(tiny_config):
+    """vqa_baseline has no answer_embedding: word table still transfers,
+    no crash (regression: KeyError)."""
+    cfg = tiny_config
+    word_vocab, answer_vocab = synthetic_vocabs(cfg)
+    vq = _init_params(cfg, "vqa_baseline")
+    vl = _init_params(cfg, "vlmap")
+    out = transfer_init(vq, vl, word_vocab, answer_vocab)
+    np.testing.assert_array_equal(
+        np.asarray(out["word_emb"]["embedding"]),
+        np.asarray(vl["word_emb"]["embedding"]))
+
+
+def test_transfer_init_missing_word_table_errors(tiny_config):
+    import pytest
+
+    cfg = tiny_config
+    word_vocab, answer_vocab = synthetic_vocabs(cfg)
+    vl = _init_params(cfg, "vlmap")
+    with pytest.raises(ValueError, match="word_emb"):
+        transfer_init({"dense": {"kernel": np.zeros((2, 2), np.float32)}},
+                      vl, word_vocab, answer_vocab)

@@ -55,6 +55,41 @@ def build_spec(cfg: Config) -> Tuple[ModelSpec, Optional[Vocab],
     return spec, word_vocab, answer_vocab
 
 
+def load_resnet_backbone(cfg: Config):
+    """(params, batch_stats) for the raw-image backbone from a
+    torchvision-format resnet101 state_dict, or None when unconfigured.
+
+    BASELINE config 5 trains against a FROZEN extractor — without this the
+    end2end model's ResNet is random and real-data results are garbage."""
+    path = cfg.model.resnet_checkpoint
+    if not path:
+        return None
+    if cfg.model.model != "vqa_end2end":
+        raise ValueError("--model.resnet_checkpoint only applies to the "
+                         "raw-image model (vqa_end2end); use cli.extract "
+                         "--torch_checkpoint for offline extraction")
+    import torch
+
+    from vqa_transfer_externaldata_tpu.models.end2end import VQAEnd2EndModel
+    from vqa_transfer_externaldata_tpu.models.zoo import resnet_stage_sizes
+    from vqa_transfer_externaldata_tpu.ops.resnet import (
+        convert_torch_state_dict)
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        params, stats = convert_torch_state_dict(
+            {k: v.numpy() for k, v in sd.items()},
+            stage_sizes=resnet_stage_sizes(cfg),
+            stem=VQAEnd2EndModel.stem)
+    except KeyError as e:
+        raise ValueError(
+            f"resnet checkpoint {path} does not match "
+            f"model.resnet_stages={cfg.model.resnet_stages} "
+            f"(missing key {e})") from e
+    log.info("pretrained ResNet backbone loaded from %s", path)
+    return params, stats
+
+
 def resolve_train_dir(cfg: Config, stage: str) -> str:
     base = cfg.train.train_dir
     # Reference behavior: the run directory name encodes hyperparams.

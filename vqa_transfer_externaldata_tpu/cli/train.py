@@ -22,7 +22,7 @@ from typing import Optional, Sequence
 import jax
 
 from vqa_transfer_externaldata_tpu.cli.common import (
-    build_spec, resolve_train_dir)
+    build_spec, load_resnet_backbone, resolve_train_dir)
 from vqa_transfer_externaldata_tpu.config import Config
 from vqa_transfer_externaldata_tpu.data.datasets import load_dataset
 from vqa_transfer_externaldata_tpu.parallel.evaler import padded_batches
@@ -51,6 +51,20 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
     example = next(train_ds.batches(1, epochs=1, shuffle=False))
     state = trainer.init_state(example)
 
+    # Pretrained frozen extractor for the raw-image model (BASELINE
+    # config 5): graft converted torchvision weights + BN statistics into
+    # the freshly-initialized tree.
+    backbone = load_resnet_backbone(cfg)
+    if backbone is not None:
+        bb_params, bb_stats = backbone
+        host_params = jax.device_get(state.params)
+        host_params["resnet"] = bb_params
+        host_extra = jax.device_get(state.extra_vars)
+        host_extra["batch_stats"] = dict(host_extra.get("batch_stats", {}))
+        host_extra["batch_stats"]["resnet"] = bb_stats
+        state = trainer.init_state(example, params=host_params,
+                                   extra_vars=host_extra)
+
     # Cross-stage transfer init (reference C12) — before any resume so a
     # resumed run keeps its trained values instead of re-seeding.
     if cfg.train.pretrained_param_path:
@@ -63,7 +77,9 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
         host_params = jax.device_get(state.params)
         new_params = transfer_init(host_params, pretrained,
                                    word_vocab, answer_vocab)
-        state = trainer.init_state(example, params=new_params)
+        state = trainer.init_state(
+            example, params=new_params,
+            extra_vars=jax.device_get(state.extra_vars))
         log.info("answer-embedding transfer init applied from %s",
                  cfg.train.pretrained_param_path)
 
@@ -95,8 +111,14 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
         state = trainer.fit(batches, state, eval_batches_fn=eval_fn)
 
     # Publish final params as a standalone artifact for transfer/eval.
+    # Non-trainable collections (frozen BN stats for the raw-image model)
+    # ride along so serving restores the exact trained-state forward.
     final_path = os.path.join(train_dir, "params_final")
-    save_params(final_path, jax.device_get(state.params))
+    payload = {"params": jax.device_get(state.params)}
+    extra = jax.device_get(state.extra_vars)
+    if extra:
+        payload["extra_vars"] = extra
+    save_params(final_path, payload)
     log.info("final params saved to %s", final_path)
     trainer.close()
     return train_dir

@@ -65,6 +65,12 @@ class ModelConfig:
     # "cudnn" (TPU-fused, default) or "tf" (TF1-GRUCell-exact gate math
     # for reference-checkpoint fidelity, ops/gru.TFGRUEncoder)
     rnn_variant: str = "cudnn"
+    # vqa_end2end (raw-image) backbone: torchvision-format resnet101
+    # state_dict (.pth) loaded into params/batch_stats at init — without it
+    # the frozen extractor is RANDOM and real-data training is useless.
+    resnet_checkpoint: str = ""
+    resnet_stages: str = "3,4,23,3"  # bottleneck blocks per stage (101)
+    resnet_width: int = 64  # stem channels (tests shrink both)
     # vlmap (stage-1) specific
     num_tasks: int = 32
     task_dim: int = 64

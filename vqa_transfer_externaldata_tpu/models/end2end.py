@@ -16,7 +16,7 @@ Batch format: ``images`` [B, S, S, 3] uint8 RGB (S=448), ``q_ids`` [B, T].
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -26,7 +26,7 @@ import numpy as np
 from vqa_transfer_externaldata_tpu.models.vqa_attention import (
     VQAAttentionModel, vqa_loss)
 from vqa_transfer_externaldata_tpu.ops.resnet import (
-    ResNetV1, preprocess_images)
+    RESNET101_STAGES, ResNetV1, preprocess_images)
 
 end2end_loss = vqa_loss
 
@@ -44,6 +44,8 @@ class VQAEnd2EndModel(nn.Module):
     use_pallas: bool = True
     freeze_backbone: bool = True
     image_size: int = 448
+    stage_sizes: Sequence[int] = RESNET101_STAGES
+    width: int = 64
     # space_to_depth stem measured 2.5x faster than the plain 7x7 stem on
     # v5e (exact kernel rewrite, ops/resnet.py).
     stem: str = "space_to_depth"
@@ -54,7 +56,9 @@ class VQAEnd2EndModel(nn.Module):
     def __call__(self, images: jnp.ndarray, q_ids: jnp.ndarray,
                  *, train: bool = False) -> Dict[str, jnp.ndarray]:
         x = preprocess_images(images, self.image_size)
-        feats = ResNetV1(dtype=self.dtype, stem=self.stem, name="resnet")(
+        feats = ResNetV1(stage_sizes=tuple(self.stage_sizes),
+                         width=self.width, dtype=self.dtype, stem=self.stem,
+                         name="resnet")(
             x, train=False)  # frozen BN always (reference: fixed extractor)
         grid = feats["grid"]
         B, h, w, C = grid.shape

@@ -81,11 +81,42 @@ def build_model(cfg: Config,
             fusion_dim=m.fusion_dim, att_hidden=m.att_hidden,
             answer_dim=m.answer_dim, dropout=m.dropout, dtype=dt,
             use_pallas=m.use_pallas, image_size=d.image_size,
+            stage_sizes=resnet_stage_sizes(cfg), width=m.resnet_width,
             word_init=word_init, answer_init=answer_init)
         return ModelSpec(module,
                          lambda b: (b["images"], b["q_ids"]),
                          end2end_loss, "vqa")
     raise KeyError(f"unknown model {name!r}; known: {sorted(MODELS)}")
+
+
+def resnet_stage_sizes(cfg: Config) -> Tuple[int, ...]:
+    return tuple(int(s) for s in cfg.model.resnet_stages.split(","))
+
+
+def example_batch(cfg: Config, batch_size: int = 1) -> Dict[str, np.ndarray]:
+    """Zero-valued batch with the model family's exact input shapes — used
+    wherever a structure-only init is needed (serving's non-trainable
+    collection materialization, compile checks) without touching data."""
+    d, m = cfg.data, cfg.model
+    n = batch_size
+    b: Dict[str, np.ndarray] = {
+        "q_ids": np.zeros((n, d.max_question_len), np.int32),
+        "answer_id": np.zeros((n,), np.int32),
+    }
+    name = m.model
+    if name == "vqa_end2end":
+        b["images"] = np.zeros((n, d.image_size, d.image_size, 3), np.uint8)
+    elif name == "vqa_baseline":
+        b["pool5"] = np.zeros((n, d.pool5_dim), np.float32)
+    elif name.startswith("vlmap"):
+        b["feature"] = np.zeros((n, d.pool5_dim), np.float32)
+        b["task"] = np.zeros((n,), np.int32)
+        b["candidates"] = np.zeros((n, m.num_candidates), np.int32)
+        b["label"] = np.zeros((n,), np.int32)
+    else:
+        b["features"] = np.zeros((n, d.grid_h * d.grid_w, d.feature_dim),
+                                 np.float32)
+    return b
 
 
 MODELS = ("vqa_attention", "vqa_attention2", "vqa_baseline", "vlmap",

@@ -96,8 +96,11 @@ class Trainer:
     # -- state ---------------------------------------------------------------
 
     def init_state(self, example_batch: Dict[str, np.ndarray],
-                   params: Optional[Any] = None) -> TrainState:
-        """Initialize (or adopt) params and opt state, replicated on mesh."""
+                   params: Optional[Any] = None,
+                   extra_vars: Optional[Any] = None) -> TrainState:
+        """Initialize (or adopt) params / non-trainable collections,
+        replicated on mesh. ``extra_vars`` adoption is how pretrained frozen
+        BatchNorm stats enter the raw-image model (cli.train backbone load)."""
         host_batch = {k: np.asarray(v)[:1] for k, v in example_batch.items()}
         rng = jax.random.PRNGKey(self.cfg.train.seed)
 
@@ -107,10 +110,16 @@ class Trainer:
             return variables.pop("params"), variables
 
         if params is None:
-            params, extra_vars = jax.jit(init_fn, out_shardings=self._repl)()
+            params, fresh_extra = jax.jit(init_fn,
+                                          out_shardings=self._repl)()
         else:
-            _, extra_vars = jax.jit(init_fn, out_shardings=self._repl)()
+            fresh_extra = None
+            if extra_vars is None:
+                _, fresh_extra = jax.jit(init_fn,
+                                         out_shardings=self._repl)()
             params = jax.device_put(params, self._repl)
+        extra_vars = (jax.device_put(extra_vars, self._repl)
+                      if extra_vars is not None else fresh_extra)
 
         def opt_init(p):
             return self.tx.init(p)

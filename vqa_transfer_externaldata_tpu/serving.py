@@ -44,15 +44,41 @@ class Predictor:
                 "serving needs vocab.json / answer_vocab.json")
         params_path = params_path or os.path.join(train_dir, "params_final")
         restored = load_params(params_path)
-        self.params = restored.get("params", restored) \
-            if isinstance(restored, dict) and "params" in restored \
-            else restored
-        # Non-trainable collections (e.g. frozen BN stats) are restored from
-        # a fresh init — they are deterministic for frozen backbones.
-        self._extra: Dict = {}
+        if isinstance(restored, dict) and "params" in restored:
+            self.params = restored["params"]
+            self._extra: Dict = restored.get("extra_vars") or {}
+        else:  # round-1 artifact layout: the raw param tree
+            self.params = restored
+            self._extra = {}
+        if not self._extra:
+            self._extra = self._materialize_extra()
         self._apply = jax.jit(self._forward)
         log.info("predictor ready: %s (%s), batch %d", train_dir,
                  self.cfg.model.model, batch_size)
+
+    def _materialize_extra(self) -> Dict:
+        """Non-trainable collections for artifacts that predate extra_vars
+        persistence. A shape-only eval_shape probe finds whether the module
+        has any (vqa_attention/baseline/vlmap: none); only then is a real
+        init run — correct for stats-free modules, and for the raw-image
+        model it at least makes apply well-formed (with a loud warning,
+        since fresh BN stats are NOT the trained extractor's)."""
+        from vqa_transfer_externaldata_tpu.models.zoo import example_batch
+
+        example = self.spec.inputs(example_batch(self.cfg))
+        rng = {"params": jax.random.PRNGKey(0)}
+        shapes = jax.eval_shape(
+            lambda: self.spec.module.init(rng, *example, train=False))
+        if set(shapes) <= {"params"}:
+            return {}
+        log.warning(
+            "params_final has no extra_vars but the model carries "
+            "non-trainable collections %s — materializing from a fresh "
+            "init (retrain or re-save to get the trained statistics)",
+            sorted(set(shapes) - {"params"}))
+        variables = dict(self.spec.module.init(rng, *example, train=False))
+        variables.pop("params")
+        return jax.device_get(variables)
 
     def _forward(self, params, *inputs):
         out = self.spec.module.apply({"params": params, **self._extra},

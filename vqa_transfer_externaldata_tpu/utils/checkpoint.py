@@ -104,6 +104,52 @@ def answer_embedding_from_words(word_table: np.ndarray, word_vocab: Vocab,
     return out
 
 
+def _find_paths(tree: Any, key: str, path: tuple = ()) -> list:
+    """All paths in a nested-dict param tree whose final key is ``key``."""
+    hits = []
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            p = path + (k,)
+            if k == key:
+                hits.append(p)
+            hits.extend(_find_paths(v, key, p))
+    return hits
+
+
+def _get_path(tree: Dict, path: tuple) -> Any:
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _set_path(tree: Dict, path: tuple, value: Any) -> Dict:
+    """Functional set: copies only the dicts along ``path``."""
+    out = dict(tree)
+    if len(path) == 1:
+        out[path[0]] = value
+    else:
+        out[path[0]] = _set_path(tree[path[0]], path[1:], value)
+    return out
+
+
+def _resolve_unique(tree: Dict, key: str, *, who: str,
+                    required: bool) -> Optional[tuple]:
+    paths = _find_paths(tree, key)
+    if not paths:
+        if required:
+            raise ValueError(
+                f"transfer_init: no {key!r} in the {who} param tree "
+                f"(top-level keys: {sorted(tree)}); this model does not "
+                f"expose the shared word space, so stage-1 transfer "
+                f"cannot apply")
+        return None
+    if len(paths) > 1:
+        raise ValueError(
+            f"transfer_init: {key!r} is ambiguous in the {who} params: "
+            f"{['/'.join(p) for p in paths]}")
+    return paths[0]
+
+
 def transfer_init(vqa_params: Dict, vlmap_params: Dict,
                   word_vocab: Vocab, answer_vocab: Vocab) -> Dict:
     """Map stage-1 params into a freshly-initialized stage-2 param tree.
@@ -112,19 +158,38 @@ def transfer_init(vqa_params: Dict, vlmap_params: Dict,
     - ``answer_embedding`` rows are rebuilt from the pretrained word table
       via :func:`answer_embedding_from_words`.
     Everything else keeps its fresh initialization.
+
+    Both tables are resolved by tree-path search, so nesting differences
+    between model families are transparent (``vqa_end2end`` keeps its head
+    under ``head/``; any vlmap variant exposes the same ``word_emb`` scope).
+    Models without an ``answer_embedding`` (e.g. ``vqa_baseline``) still
+    receive the word table, with a warning that the answer-space half of the
+    transfer does not apply.
     """
-    src_table = np.asarray(vlmap_params["word_emb"]["embedding"])
-    out = jax.tree_util.tree_map(lambda x: x, vqa_params)  # shallow copy
-    tgt_table = np.asarray(out["word_emb"]["embedding"])
+    src_path = _resolve_unique(vlmap_params, "word_emb", who="stage-1",
+                               required=True)
+    src_table = np.asarray(_get_path(vlmap_params, src_path)["embedding"])
+    tgt_path = _resolve_unique(vqa_params, "word_emb", who="stage-2",
+                               required=True)
+    tgt_table = np.asarray(_get_path(vqa_params, tgt_path)["embedding"])
     if src_table.shape != tgt_table.shape:
         raise ValueError(
             f"word table shape mismatch: vlmap {src_table.shape} "
             f"vs vqa {tgt_table.shape}")
-    out["word_emb"] = dict(out["word_emb"])
-    out["word_emb"]["embedding"] = src_table.copy()
+    word_scope = dict(_get_path(vqa_params, tgt_path))
+    word_scope["embedding"] = src_table.copy()
+    out = _set_path(vqa_params, tgt_path, word_scope)
 
+    ans_path = _resolve_unique(out, "answer_embedding", who="stage-2",
+                               required=False)
+    if ans_path is None:
+        log.warning(
+            "transfer_init: model has no 'answer_embedding' table "
+            "(e.g. vqa_baseline) — word table transferred, answer-space "
+            "init skipped")
+        return out
     ans = answer_embedding_from_words(src_table, word_vocab, answer_vocab)
-    tgt_ans = np.asarray(out["answer_embedding"])
+    tgt_ans = np.asarray(_get_path(out, ans_path))
     if ans.shape[1] != tgt_ans.shape[1]:
         raise ValueError(
             f"answer embedding dim mismatch: words give {ans.shape[1]}, "
@@ -133,7 +198,7 @@ def transfer_init(vqa_params: Dict, vlmap_params: Dict,
     rows = min(ans.shape[0], tgt_ans.shape[0])
     new_ans = tgt_ans.copy()
     new_ans[:rows] = ans[:rows]
-    out["answer_embedding"] = new_ans
+    out = _set_path(out, ans_path, new_ans)
     log.info("transfer_init: word table %s copied, %d answer rows seeded",
              src_table.shape, rows)
     return out
