@@ -22,9 +22,16 @@ def vqa_json(tmp_path):
             "How many cats are there?", "What color is the dog?",
             "Is the cat black?", "What is the dog doing?",
             "What color is the wall?", "How many dogs are there?"])]}
+    answer_types = ["other", "yes/no", "number", "other", "yes/no",
+                    "other", "other", "number"]
+    question_types = ["what color is the", "is the", "how many",
+                      "what color is the", "is the", "what is the",
+                      "what color is the", "how many"]
     annotations = {"annotations": [
         {"question_id": 10 * i, "image_id": 100 + i % 3,
          "multiple_choice_answer": mca,
+         "question_type": question_types[i],
+         "answer_type": answer_types[i],
          "answers": [{"answer": mca}] * 8 + [{"answer": "maybe"}] * 2}
         for i, mca in enumerate(
             ["black", "yes", "two", "brown", "no", "sleeping",
@@ -63,6 +70,18 @@ def test_vqa_v2_preprocess(vqa_json, tmp_path):
     # 8/10 annotators agree -> in-vocab rows score 1.0 at their answer id
     row = val["answer_scores"][0]
     assert row.max() == 1.0
+
+    # Question/answer type tables + per-row ids (the standard
+    # yes/no-number-other breakdown every VQA paper tables).
+    types = json.load(open(os.path.join(out, "types.json")))
+    assert types["answer_types"] == ["<unk>", "number", "other", "yes/no"]
+    assert "how many" in types["question_types"]
+    at = val["answer_type_id"]
+    names = types["answer_types"]
+    assert [names[i] for i in at[:3]] == ["other", "yes/no", "number"]
+    qt = val["question_type_id"]
+    qnames = types["question_types"]
+    assert qnames[qt[2]] == "how many"
 
 
 def test_vg_task_discovery_and_artifacts(tmp_path):
@@ -184,6 +203,15 @@ def test_real_artifact_training_path(vqa_json, tmp_path):
     metrics = eval_main(["--train.train_dir", train_dir,
                          "--train.batch_size", "16"])
     assert "vqa_accuracy" in metrics
+    # per-type breakdown from types.json + answer_type_id/question_type_id
+    assert "vqa_accuracy_answer_type/yes_no" in metrics
+    assert "vqa_accuracy_answer_type/number" in metrics
+    assert "vqa_accuracy_question_type/how_many" in metrics
+    # weighted mix of the three type accuracies equals the overall number
+    total = (2 * metrics["vqa_accuracy_answer_type/yes_no"]
+             + 2 * metrics["vqa_accuracy_answer_type/number"]
+             + 4 * metrics["vqa_accuracy_answer_type/other"]) / 8
+    assert abs(total - metrics["vqa_accuracy"]) < 1e-6
     results_path = os.path.join(train_dir, "results_val.json")
     assert os.path.exists(results_path)
     with open(results_path) as fh:
@@ -261,3 +289,65 @@ def test_glove_cli(tmp_path):
     mat = np.load(out)["embedding"]
     assert mat.shape == (16, 8)
     assert np.all(mat[vocab.token_to_id["cat"]] == 1.5)
+
+
+def test_region_feature_extraction_glue(tmp_path):
+    """VG regions -> region_meta.npz -> cli.extract --regions crop store ->
+    stage-1 training joins it by region_index (VERDICT Missing #4)."""
+    from PIL import Image
+
+    from vqa_transfer_externaldata_tpu.cli.extract import main as extract_main
+    from vqa_transfer_externaldata_tpu.cli.train import main as train_main
+    from vqa_transfer_externaldata_tpu.data.features import FeatureStore
+
+    regions_json = [
+        {"id": img, "regions": [
+            {"region_id": 10 * img + k, "image_id": img,
+             "phrase": p, "x": 2 * k, "y": 3, "width": 8, "height": 6}
+            for k, p in enumerate(phrases)]}
+        for img, phrases in ((1, ["a black cat", "the white dog",
+                                  "black dog running", "a white cat"]),
+                             (2, ["a red car", "the blue car",
+                                  "white car parked", "a black car"]))]
+    rp = tmp_path / "regions.json"
+    rp.write_text(json.dumps(regions_json))
+    vocab = Vocab.build(["black cat white dog red car blue running parked"])
+    vp = tmp_path / "vocab.json"
+    vocab.save(str(vp))
+    out = str(tmp_path / "vg")
+    preprocess(["visualgenome", "--out_dir", out,
+                "--region_descriptions", str(rp), "--vocab", str(vp),
+                "--num_tasks", "2", "--num_candidates", "4",
+                "--min_word_count", "1"])
+    meta_path = os.path.join(out, "region_meta.npz")
+    meta = np.load(meta_path)
+    assert meta["image_id"].shape[0] == 8  # one row per region
+    assert meta["bbox"].shape == (8, 4)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for img in (1, 2):
+        Image.fromarray(np.full((30, 40, 3), 100 * img, np.uint8)).save(
+            str(img_dir / f"{img}.jpg"))
+    feat_path = str(tmp_path / "region_feats.hdf5")
+    extract_main(["--image_dir", str(img_dir), "--out", feat_path,
+                  "--regions", meta_path, "--batch_size", "4",
+                  "--image_size", "64"])
+    store = FeatureStore(feat_path)
+    assert store.grid.shape[0] == 8  # row r = region_index r
+    np.testing.assert_array_equal(store.image_ids, np.arange(8))
+    store.close()
+
+    train_dir = train_main([
+        "--data.dataset_dir", out, "--data.feature_path", feat_path,
+        "--data.vocab_path", str(vp),
+        "--data.vocab_size", "64", "--data.pool5_dim", "2048",
+        "--model.model", "vlmap", "--model.word_dim", "8",
+        "--model.task_dim", "4", "--model.num_tasks", "2",
+        "--model.num_candidates", "4", "--model.dtype", "float32",
+        "--model.dropout", "0.0",
+        "--train.batch_size", "8", "--train.max_steps", "2",
+        "--train.log_every", "1", "--train.eval_every", "10000",
+        "--train.checkpoint_every", "100",
+        "--train.train_dir", str(tmp_path / "vl_run")])
+    assert os.path.exists(os.path.join(train_dir, "params_final"))

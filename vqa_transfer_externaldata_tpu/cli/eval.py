@@ -66,10 +66,16 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
 
         with open(oov_path) as fh:
             oov_ids = np.asarray(json.load(fh)["oov_ids"], np.int32)
+    type_tables = None
+    types_path = os.path.join(cfg.data.dataset_dir, "types.json")
+    if os.path.exists(types_path):
+        with open(types_path) as fh:
+            type_tables = json.load(fh)
     metrics, _ = evaluate_split(trainer, state, ds,
                                 answer_vocab=answer_vocab,
                                 results_path=results_path,
-                                oov_answer_ids=oov_ids)
+                                oov_answer_ids=oov_ids,
+                                type_tables=type_tables)
     print(json.dumps({"split": eargs.eval_split,
                       "step": int(jax.device_get(state.step)),
                       **{k: round(float(v), 6) for k, v in metrics.items()}}))

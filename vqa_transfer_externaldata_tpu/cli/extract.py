@@ -2,10 +2,18 @@
 COCO/VG images (optionally region crops from the vlmap artifacts) ->
 HDF5 of 14x14x2048 grids + pool5.
 
+    # whole images (VQA): store row k = k-th image, ids from filenames
     python -m vqa_transfer_externaldata_tpu.cli.extract \
         --image_dir /data/coco/train2014 --out features_train.hdf5 \
         [--pattern "*.jpg"] [--batch_size 32] [--image_size 448] \
         [--torch_checkpoint resnet101.pth]
+
+    # region crops (stage-1): store row r = region_index r of the vlmap
+    # artifacts (data/visualgenome region_meta.npz), so vlmap training's
+    # region_index join hits the right rows by position
+    python -m vqa_transfer_externaldata_tpu.cli.extract \
+        --image_dir /data/vg/images --out region_feats.hdf5 \
+        --regions <vlmap_out_dir>/region_meta.npz
 """
 
 from __future__ import annotations
@@ -40,14 +48,38 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
     p.add_argument("--format", default="hdf5", choices=("hdf5", "raw"),
                    help="raw = mmap directory served by the native "
                         "multi-threaded gather (fastest at train time)")
+    p.add_argument("--regions", default=None,
+                   help="region_meta.npz from the visualgenome "
+                        "preprocessing: extract per-region CROP features, "
+                        "row r = region_index r (stage-1 feature store)")
     args = p.parse_args(argv)
 
-    paths = sorted(glob.glob(os.path.join(args.image_dir, args.pattern)))
-    if not paths:
+    found = sorted(glob.glob(os.path.join(args.image_dir, args.pattern)))
+    if not found:
         raise FileNotFoundError(
             f"no images matching {args.pattern} under {args.image_dir}")
-    ids = [image_id_from_name(q) for q in paths]
-    log.info("extracting %d images from %s", len(paths), args.image_dir)
+
+    boxes = None
+    if args.regions:
+        import numpy as np
+
+        meta = np.load(args.regions)
+        by_id = {image_id_from_name(q): q for q in found}
+        missing = sorted(set(meta["image_id"].tolist()) - set(by_id))
+        if missing:
+            raise FileNotFoundError(
+                f"{len(missing)} region image ids have no file under "
+                f"{args.image_dir} (first: {missing[:5]})")
+        paths = [by_id[int(i)] for i in meta["image_id"]]
+        boxes = [tuple(int(v) for v in b) for b in meta["bbox"]]
+        ids = list(range(len(paths)))  # row r == region_index r
+        log.info("extracting %d region crops over %d images",
+                 len(paths), len(by_id))
+    else:
+        paths = found
+        ids = [image_id_from_name(q) for q in paths]
+        log.info("extracting %d images from %s", len(paths),
+                 args.image_dir)
 
     variables = None
     if args.torch_checkpoint:
@@ -64,7 +96,7 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
         log.info("loaded pretrained ResNet-101 from %s",
                  args.torch_checkpoint)
 
-    return extract_features(paths, ids, args.out,
+    return extract_features(paths, ids, args.out, boxes=boxes,
                             batch_size=args.batch_size,
                             image_size=args.image_size,
                             variables=variables, fmt=args.format)

@@ -219,6 +219,15 @@ def build_vlmap_artifacts(
             os.makedirs(out_dir, exist_ok=True)
             np.savez_compressed(
                 os.path.join(out_dir, f"vlmap_{name}.npz"), **arrays)
+    if out_dir is not None:
+        # Region metadata aligned with region_index (row r = region r):
+        # cli.extract --regions drives the crop-level feature extraction
+        # from this, producing the store stage-1 training joins against.
+        np.savez_compressed(
+            os.path.join(out_dir, "region_meta.npz"),
+            image_id=np.asarray([r["image_id"] for r in regions], np.int64),
+            bbox=np.asarray([[r["x"], r["y"], r["width"], r["height"]]
+                             for r in regions], np.int32))
     meta = {"task_names": task_names,
             "num_examples": int(n), "num_words": len(words),
             # word-id pools per task: lets training resample fresh

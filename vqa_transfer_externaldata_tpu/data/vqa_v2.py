@@ -5,8 +5,11 @@ Produces, per split:
 - ``vqa_<split>.npz``: q_ids [N, T] int32, q_len [N], answer_id [N]
   (most-common normalized answer mapped to the top-K vocab, <unk> if OOV),
   answer_scores [N, A] (official per-candidate accuracy vectors, eval
-  splits), question_id [N], image_index [N] (row into the feature store).
+  splits), question_id [N], image_index [N] (row into the feature store),
+  question_type_id / answer_type_id [N] (rows into ``types.json`` — the
+  standard yes/no-number-other and per-question-type accuracy breakdowns).
 - ``vocab.json`` / ``answer_vocab.json`` (built on the train split only).
+- ``types.json``: the question/answer type name tables.
 
 Tokenization and answer normalization are the golden-tested rules in
 utils/vocab.py and utils/metrics.py — these dominate cross-implementation
@@ -38,6 +41,18 @@ def load_annotations(path: str) -> Dict[int, dict]:
         return {a["question_id"]: a for a in json.load(fh)["annotations"]}
 
 
+def build_type_tables(annotations: Dict[int, dict]
+                      ) -> Dict[str, List[str]]:
+    """Deterministic question/answer type name tables from (train)
+    annotations — index 0 is reserved for unseen types."""
+    q_types = sorted({a.get("question_type", "") for a in
+                      annotations.values()} - {""})
+    a_types = sorted({a.get("answer_type", "") for a in
+                      annotations.values()} - {""})
+    return {"question_types": ["<unk>"] + q_types,
+            "answer_types": ["<unk>"] + a_types}
+
+
 def build_split(
     questions: Sequence[dict],
     annotations: Optional[Dict[int, dict]],
@@ -47,6 +62,7 @@ def build_split(
     max_question_len: int = 26,
     image_id_to_index: Optional[Dict[int, int]] = None,
     with_scores: bool = False,
+    type_tables: Optional[Dict[str, List[str]]] = None,
 ) -> Dict[str, np.ndarray]:
     n = len(questions)
     T = max_question_len
@@ -57,6 +73,12 @@ def build_split(
     answer_id = np.full((n,), UNK_ID, np.int32)
     scores = (np.zeros((n, len(answer_vocab)), np.float32)
               if with_scores else None)
+    qt_idx = at_idx = None
+    if annotations is not None and type_tables is not None:
+        qt = {t: i for i, t in enumerate(type_tables["question_types"])}
+        at = {t: i for i, t in enumerate(type_tables["answer_types"])}
+        qt_idx = np.zeros((n,), np.int32)
+        at_idx = np.zeros((n,), np.int32)
 
     a2i = answer_vocab.token_to_id
     for i, q in enumerate(questions):
@@ -72,11 +94,17 @@ def build_split(
             if with_scores:
                 human = [a["answer"] for a in ann["answers"]]
                 scores[i] = answer_scores(human, a2i, len(answer_vocab))
+            if qt_idx is not None:
+                qt_idx[i] = qt.get(ann.get("question_type", ""), 0)
+                at_idx[i] = at.get(ann.get("answer_type", ""), 0)
 
     out = {"q_ids": q_ids, "q_len": q_len, "question_id": qid,
            "image_index": image_index, "answer_id": answer_id}
     if with_scores:
         out["answer_scores"] = scores
+    if qt_idx is not None:
+        out["question_type_id"] = qt_idx
+        out["answer_type_id"] = at_idx
     return out
 
 
@@ -114,8 +142,13 @@ def preprocess_vqa_v2(
         top_k=top_k_answers)
     word_vocab.save(os.path.join(out_dir, "vocab.json"))
     answer_vocab.save(os.path.join(out_dir, "answer_vocab.json"))
-    log.info("vocab %d words, %d answers", len(word_vocab),
-             len(answer_vocab))
+    type_tables = build_type_tables(ta)
+    with open(os.path.join(out_dir, "types.json"), "w") as fh:
+        json.dump(type_tables, fh)
+    log.info("vocab %d words, %d answers; %d question / %d answer types",
+             len(word_vocab), len(answer_vocab),
+             len(type_tables["question_types"]),
+             len(type_tables["answer_types"]))
 
     holdout_ids = np.zeros((0,), np.int32)
     if answer_holdout_fraction > 0:
@@ -139,7 +172,8 @@ def preprocess_vqa_v2(
         arrays = build_split(qs, anns, word_vocab, answer_vocab,
                              max_question_len=max_question_len,
                              image_id_to_index=image_id_to_index,
-                             with_scores=with_scores)
+                             with_scores=with_scores,
+                             type_tables=type_tables)
         if name == "train" and holdout_ids.size:
             held = np.isin(arrays["answer_id"], holdout_ids)
             arrays["answer_id"] = np.where(held, UNK_ID,

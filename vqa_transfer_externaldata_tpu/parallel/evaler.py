@@ -58,7 +58,8 @@ def evaluate_split(trainer: Trainer, state: TrainState, ds: ArrayDataset,
                    *, answer_vocab: Optional[Vocab] = None,
                    question_ids: Optional[np.ndarray] = None,
                    results_path: Optional[str] = None,
-                   oov_answer_ids: Optional[np.ndarray] = None
+                   oov_answer_ids: Optional[np.ndarray] = None,
+                   type_tables: Optional[Dict[str, list]] = None
                    ) -> Tuple[Dict[str, float], np.ndarray]:
     """Evaluate every row of ``ds``; optionally dump official result JSON.
 
@@ -66,6 +67,11 @@ def evaluate_split(trainer: Trainer, state: TrainState, ds: ArrayDataset,
     (data/vqa_v2.oov_answer_split) — reports the paper's in-/out-of-
     vocabulary accuracy breakdown, the headline measure of how well the
     pretrained answer-embedding space generalizes to unseen answers.
+
+    ``type_tables``: ``types.json`` content from preprocessing — adds the
+    standard per-answer-type (yes/no - number - other) and per-question-
+    type accuracy breakdowns (SURVEY.md section 3.3) when the split
+    carries ``answer_type_id``/``question_type_id``.
     """
     batches, n = padded_batches(ds, trainer.cfg.train.batch_size)
     metrics, preds = trainer.evaluate(state, batches)
@@ -84,6 +90,21 @@ def evaluate_split(trainer: Trainer, state: TrainState, ds: ArrayDataset,
             if (~oov).any():
                 metrics["vqa_accuracy_in_vocab_answers"] = float(
                     per_q[~oov].mean())
+        if type_tables is not None:
+            for id_key, names_key, prefix in (
+                    ("answer_type_id", "answer_types",
+                     "vqa_accuracy_answer_type"),
+                    ("question_type_id", "question_types",
+                     "vqa_accuracy_question_type")):
+                if id_key not in ds.arrays:
+                    continue
+                ids = np.asarray(ds.arrays[id_key][:n])
+                for t, name in enumerate(type_tables[names_key]):
+                    sel = ids == t
+                    if sel.any():
+                        slug = name.replace(" ", "_").replace("/", "_")
+                        metrics[f"{prefix}/{slug}"] = float(
+                            per_q[sel].mean())
     if results_path is not None:
         if answer_vocab is None:
             raise ValueError("answer_vocab required to decode results")
