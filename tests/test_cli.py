@@ -89,3 +89,19 @@ def test_train_resume_via_cli(tmp_path):
     with open(os.path.join(d, "metrics.jsonl")) as fh:
         steps = [json.loads(l)["step"] for l in fh]
     assert max(steps) == 8
+
+
+def test_description_variant_two_stage_pipeline(tmp_path):
+    """Stage 1 with the description blank-fill variant -> transfer into
+    stage 2 (reference C6's `_answer`-shaped variant; VERDICT Missing #2)."""
+    vlmap_dir = train_cli.main(TINY + [
+        "--model.model", "vlmap_description",
+        "--train.train_dir", str(tmp_path / "vld_run")])
+    assert os.path.exists(os.path.join(vlmap_dir, "params_final"))
+
+    vqa_dir = train_cli.main(TINY + [
+        "--model.model", "vqa_attention",
+        "--train.train_dir", str(tmp_path / "vqa_run"),
+        "--train.pretrained_param_path",
+        os.path.join(vlmap_dir, "params_final")])
+    assert os.path.exists(os.path.join(vqa_dir, "params_final"))

@@ -351,3 +351,45 @@ def test_region_feature_extraction_glue(tmp_path):
         "--train.checkpoint_every", "100",
         "--train.train_dir", str(tmp_path / "vl_run")])
     assert os.path.exists(os.path.join(train_dir, "params_final"))
+
+
+def test_description_artifacts_and_pattern_discovery(tmp_path):
+    """Blank-fill artifacts: blank planted as <unk>, positive among
+    same-task candidates, and positional pattern discovery (object /
+    attribute / relationship blanks)."""
+    from vqa_transfer_externaldata_tpu.data.visualgenome import (
+        PATTERN_NAMES, build_vlmap_description_artifacts,
+        classify_blank_pattern)
+
+    visual = frozenset({"black", "cat", "dog", "car", "white"})
+    assert classify_blank_pattern(["a", "black", "cat"], 1, visual) == 1
+    assert classify_blank_pattern(["a", "black", "cat"], 2, visual) == 0
+    assert classify_blank_pattern(["dog", "on", "the", "car"], 0,
+                                  visual) == 2
+    assert classify_blank_pattern(["dog", "on", "the", "car"], 3,
+                                  visual) == 0
+    assert PATTERN_NAMES == ("object", "attribute", "relationship")
+
+    regions = [{"image_id": 1, "region_id": i, "phrase": p,
+                "x": 0, "y": 0, "width": 4, "height": 4}
+               for i, p in enumerate(
+                   ["a black cat", "dog on the car", "white dog",
+                    "the white car", "black dog", "a white cat"])]
+    vocab = Vocab.build(["black cat white dog car on"])
+    out = str(tmp_path / "vgd")
+    arts = build_vlmap_description_artifacts(
+        regions, vocab, num_tasks=2, num_candidates=4, min_word_count=1,
+        max_desc_len=6, out_dir=out, val_fraction=0.2)
+    assert os.path.exists(os.path.join(out, "vlmap_desc_train.npz"))
+    meta = json.load(open(os.path.join(out, "vlmap_desc_meta.json")))
+    assert set(meta["pattern_counts"]) == set(PATTERN_NAMES)
+    tr = arts["train"]
+    n = tr["label"].shape[0]
+    # positive planted at label
+    np.testing.assert_array_equal(
+        tr["candidates"][np.arange(n), tr["label"]], tr["word"])
+    # the blank position holds <unk> in every description
+    np.testing.assert_array_equal(
+        tr["desc_ids"][np.arange(n), tr["blank_pos"]],
+        np.ones(n, np.int32) * UNK_ID)
+    assert tr["desc_ids"].shape[1] == 6

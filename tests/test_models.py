@@ -12,7 +12,8 @@ from vqa_transfer_externaldata_tpu.models.vqa_attention import vqa_loss
 from vqa_transfer_externaldata_tpu.utils.vocab import UNK_ID
 
 
-@pytest.mark.parametrize("name", ["vqa_attention", "vqa_baseline", "vlmap"])
+@pytest.mark.parametrize("name", ["vqa_attention", "vqa_baseline", "vlmap",
+                                  "vlmap_description"])
 def test_forward_shapes(tiny_config, name):
     cfg = tiny_config.replace_flat({"model.model": name})
     spec = build_model(cfg)
@@ -21,12 +22,27 @@ def test_forward_shapes(tiny_config, name):
     params = spec.module.init({"params": jax.random.PRNGKey(0)},
                               *spec.inputs(batch), train=False)
     out = spec.module.apply(params, *spec.inputs(batch), train=False)
-    expected_classes = (cfg.model.num_candidates if name == "vlmap"
+    expected_classes = (cfg.model.num_candidates
+                        if name.startswith("vlmap")
                         else cfg.data.num_answers)
     assert out["logits"].shape == (8, expected_classes)
     loss, metrics = spec.loss(out, batch)
     assert np.isfinite(float(loss))
     assert 0.0 <= float(metrics["accuracy"]) <= 1.0
+
+
+def test_vlmap_variants_share_word_table_path(tiny_config):
+    """Both stage-1 variants expose params/word_emb/embedding — the
+    contract transfer_init relies on (either variant transfers)."""
+    for name in ("vlmap", "vlmap_description"):
+        cfg = tiny_config.replace_flat({"model.model": name})
+        spec = build_model(cfg)
+        ds = load_dataset(cfg, "train", stage=spec.stage)
+        batch = next(ds.batches(4, epochs=1, shuffle=False))
+        params = spec.module.init({"params": jax.random.PRNGKey(0)},
+                                  *spec.inputs(batch), train=False)["params"]
+        assert params["word_emb"]["embedding"].shape == (
+            cfg.data.vocab_size, cfg.model.word_dim)
 
 
 def test_word_init_is_used(tiny_config):

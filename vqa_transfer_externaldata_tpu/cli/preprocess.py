@@ -59,6 +59,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     pg.add_argument("--num_candidates", type=int, default=512)
     pg.add_argument("--min_word_count", type=int, default=50)
     pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--descriptions", default=True,
+                    type=lambda s: s.lower() in ("1", "true", "yes"),
+                    help="also emit the description blank-fill artifacts "
+                         "(vlmap_desc_*.npz) for the vlmap_description "
+                         "variant")
+    pg.add_argument("--max_desc_len", type=int, default=26)
 
     pw = sub.add_parser("glove")
     pw.add_argument("--out", required=True)
@@ -86,11 +92,22 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             build_vlmap_artifacts, load_region_descriptions)
 
         regions = load_region_descriptions(args.region_descriptions)
+        vocab = Vocab.load(args.vocab)
         build_vlmap_artifacts(
-            regions, Vocab.load(args.vocab), num_tasks=args.num_tasks,
+            regions, vocab, num_tasks=args.num_tasks,
             num_candidates=args.num_candidates,
             min_word_count=args.min_word_count, seed=args.seed,
             out_dir=args.out_dir)
+        if args.descriptions:
+            from vqa_transfer_externaldata_tpu.data.visualgenome import (
+                build_vlmap_description_artifacts)
+
+            build_vlmap_description_artifacts(
+                regions, vocab, num_tasks=args.num_tasks,
+                num_candidates=args.num_candidates,
+                min_word_count=args.min_word_count,
+                max_desc_len=args.max_desc_len, seed=args.seed,
+                out_dir=args.out_dir)
     elif args.tool == "glove":
         vocab = Vocab.load(args.vocab)
         vectors = load_glove_txt(args.glove_txt, dim=args.dim, vocab=vocab)

@@ -212,6 +212,31 @@ def synthetic_vlmap(cfg: Config, *, size: Optional[int] = None,
         "candidates": candidates, "label": label.astype(np.int32)})
 
 
+def synthetic_vlmap_desc(cfg: Config, *, size: Optional[int] = None,
+                         seed: int = 0) -> ArrayDataset:
+    """Synthetic description blank-fill data: the word-level signal of
+    :func:`synthetic_vlmap` plus a context sequence whose tokens correlate
+    with the positive word (so the description encoder has signal too)."""
+    base = synthetic_vlmap(cfg, size=size, seed=seed)
+    d = cfg.data
+    n = base.size
+    rng = np.random.default_rng(seed + 7)
+    T = d.max_question_len
+    desc = rng.integers(4, d.vocab_size, size=(n, T)).astype(np.int32)
+    blank_pos = rng.integers(0, T, size=n).astype(np.int32)
+    # Context hint: the token after the blank echoes the positive word
+    # (wrapped), a learnable sequential cue.
+    word = base.arrays["word"] if "word" in base.arrays else \
+        base.arrays["candidates"][np.arange(n), base.arrays["label"]]
+    hint_pos = (blank_pos + 1) % T
+    desc[np.arange(n), hint_pos] = word
+    desc[np.arange(n), blank_pos] = 1  # <unk> blank
+    arrays = dict(base.arrays)
+    arrays["desc_ids"] = desc
+    arrays["blank_pos"] = blank_pos
+    return ArrayDataset(arrays)
+
+
 class PrefetchIterator:
     """Background-thread prefetch over a batch iterator (reference C5/C7's
     TF1 queue runners, rebuilt as a bounded queue): the host prepares the
@@ -281,6 +306,8 @@ def load_dataset(cfg: Config, split: str, stage: str = "vqa",
         seed = {"train": 0, "val": 1, "test": 2}.get(split, 3)
         if stage == "vlmap":
             return synthetic_vlmap(cfg, seed=seed, **synth_kw)
+        if stage == "vlmap_desc":
+            return synthetic_vlmap_desc(cfg, seed=seed, **synth_kw)
         return synthetic_vqa(cfg, seed=seed,
                              with_scores=(split != "train"), **synth_kw)
     path = os.path.join(cfg.data.dataset_dir, f"{stage}_{split}.npz")
@@ -300,16 +327,18 @@ def load_dataset(cfg: Config, split: str, stage: str = "vqa",
             FeatureStore, JoinedDataset)
 
         store = FeatureStore(cfg.data.feature_path)
-        if stage == "vlmap":
+        if stage.startswith("vlmap"):
             ds = JoinedDataset(ds.arrays, store, index_key="region_index",
                                feature_keys=("feature",))
         else:
             ds = JoinedDataset(ds.arrays, store, index_key="image_index",
                                feature_keys=("features", "pool5"))
-    if stage == "vlmap" and split == "train" and cfg.data.resample_negatives:
+    if (stage.startswith("vlmap") and split == "train"
+            and cfg.data.resample_negatives):
         import json as _json
 
-        meta_path = os.path.join(cfg.data.dataset_dir, "vlmap_meta.json")
+        meta_path = os.path.join(cfg.data.dataset_dir,
+                                 f"{stage}_meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
                 meta = _json.load(fh)

@@ -10,10 +10,20 @@ classifier must discriminate. Grouping uses WordNet lexicographer classes
 with a deterministic co-occurrence-free frequency-bucket fallback otherwise
 (this machine has no WordNet data; both paths are tested).
 
-Artifacts (``vlmap_<split>.npz``): region_index [N] (row into the region
-feature store), task [N], word [N] (positive word id), candidates [N, K]
-(negative words from the SAME task with the positive planted — the
-discrimination set that makes tasks meaningful), label [N].
+Two artifact flavors (the reference's ``model_vlmap_*`` dataset family):
+
+- Word-level (``vlmap_<split>.npz``): region_index [N] (row into the
+  region feature store), task [N], word [N] (positive word id),
+  candidates [N, K] (negative words from the SAME task with the positive
+  planted — the discrimination set that makes tasks meaningful), label [N].
+- Description-level blanks (``vlmap_desc_<split>.npz``): the same fields
+  plus desc_ids [N, T] (the region phrase with the target word replaced by
+  ``<unk>``), blank_pos [N], and pattern [N] — the discovered blank kind
+  (0 = object blank at the phrase head/end, 1 = attribute blank directly
+  modifying a visual word, 2 = relationship blank between visual words).
+  These are the paper's attribute/relationship-blank tasks: the model must
+  fill the blank from the region's visual evidence *and* the description
+  context (models/vlmap.VLMapDescriptionModel).
 """
 
 from __future__ import annotations
@@ -240,4 +250,133 @@ def build_vlmap_artifacts(
             json.dump(meta, fh)
     log.info("vlmap artifacts: %d examples, %d visual words, %d tasks",
              n, len(words), len(task_names))
+    return out
+
+
+PATTERN_NAMES = ("object", "attribute", "relationship")
+
+
+def classify_blank_pattern(tokens: Sequence[str], pos: int,
+                           visual: frozenset) -> int:
+    """Discovered blank kind for ``tokens[pos]`` (index into
+    :data:`PATTERN_NAMES`): an *object* blank sits at the content tail of
+    the phrase, an *attribute* blank directly modifies a following visual
+    word, and anything else sandwiched in context is a *relationship*
+    blank. Deterministic and corpus-free — the positional analogue of the
+    reference's WordNet-guided description-task grouping."""
+    content = [i for i, t in enumerate(tokens)
+               if t not in STOPWORDS and not t.isdigit()]
+    if not content or pos == content[-1]:
+        return 0
+    if pos + 1 < len(tokens) and tokens[pos + 1] in visual:
+        return 1
+    return 2
+
+
+def build_vlmap_description_artifacts(
+    regions: Sequence[dict],
+    word_vocab: Vocab,
+    *,
+    num_tasks: int = 32,
+    num_candidates: int = 512,
+    min_word_count: int = 50,
+    max_words: int = 5000,
+    max_desc_len: int = 26,
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+    val_fraction: float = 0.05,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Description-level blank-fill examples (``vlmap_desc_<split>.npz``).
+
+    One example per (region phrase, visual-word occurrence): the word is
+    blanked out of the tokenized phrase (``<unk>`` at ``blank_pos``) and
+    becomes the positive among same-task candidates; the model sees the
+    region feature AND the blanked description (reference C6's description
+    encoder variants; SURVEY.md section 0 "unsupervised task discovery").
+    """
+    from vqa_transfer_externaldata_tpu.utils.vocab import PAD_ID, UNK_ID
+
+    phrases = [r["phrase"] for r in regions]
+    words = mine_visual_words(phrases, min_count=min_word_count,
+                              max_words=max_words)
+    words = [w for w in words if w in word_vocab.token_to_id]
+    word_to_task, task_names = discover_tasks(words, num_tasks)
+    task_words: Dict[int, List[int]] = defaultdict(list)
+    for w in words:
+        task_words[word_to_task[w]].append(word_vocab.token_to_id[w])
+    visual = frozenset(words)
+
+    T = max_desc_len
+    rng = np.random.default_rng(seed)
+    rows: List[Tuple[int, int, int, int, int]] = []
+    desc_rows: List[np.ndarray] = []
+    for idx, phrase in enumerate(phrases):
+        tokens = tokenize(phrase)[:T]
+        ids = np.full((T,), PAD_ID, np.int32)
+        for j, t in enumerate(tokens):
+            ids[j] = word_vocab.token_to_id.get(t, UNK_ID)
+        seen = set()
+        for pos, tok in enumerate(tokens):
+            if tok not in visual or tok in seen:
+                continue
+            seen.add(tok)
+            pattern = classify_blank_pattern(tokens, pos, visual)
+            rows.append((idx, word_to_task[tok],
+                         word_vocab.token_to_id[tok], pos, pattern))
+            blanked = ids.copy()
+            blanked[pos] = UNK_ID
+            desc_rows.append(blanked)
+    if not rows:
+        raise ValueError("no blankable visual-word occurrences found; "
+                         "lower min_word_count or check the vocab")
+    rows_arr = np.asarray(rows, np.int64)
+    desc_ids = np.stack(desc_rows)
+    n = rows_arr.shape[0]
+    K = num_candidates
+
+    candidates = np.zeros((n, K), np.int32)
+    label = rng.integers(0, K, size=n).astype(np.int32)
+    for t, ids_ in task_words.items():
+        sel = np.where(rows_arr[:, 1] == t)[0]
+        if sel.size == 0:
+            continue
+        candidates[sel] = rng.choice(np.asarray(ids_, np.int32),
+                                     size=(sel.size, K))
+    candidates[np.arange(n), label] = rows_arr[:, 2].astype(np.int32)
+
+    order = rng.permutation(n)
+    n_val = max(1, int(n * val_fraction)) if n > 1 else 0
+    splits = {"train": order[n_val:], "val": order[:n_val]}
+    out = {}
+    for name, sel in splits.items():
+        if sel.size == 0:
+            continue
+        arrays = {
+            "region_index": rows_arr[sel, 0].astype(np.int32),
+            "task": rows_arr[sel, 1].astype(np.int32),
+            "word": rows_arr[sel, 2].astype(np.int32),
+            "desc_ids": desc_ids[sel],
+            "blank_pos": rows_arr[sel, 3].astype(np.int32),
+            "pattern": rows_arr[sel, 4].astype(np.int32),
+            "candidates": candidates[sel],
+            "label": label[sel],
+        }
+        out[name] = arrays
+        if out_dir is not None:
+            os.makedirs(out_dir, exist_ok=True)
+            np.savez_compressed(
+                os.path.join(out_dir, f"vlmap_desc_{name}.npz"), **arrays)
+    counts = np.bincount(rows_arr[:, 4], minlength=3)
+    meta = {"task_names": task_names,
+            "pattern_names": list(PATTERN_NAMES),
+            "pattern_counts": {PATTERN_NAMES[i]: int(c)
+                               for i, c in enumerate(counts)},
+            "num_examples": int(n), "num_words": len(words),
+            "task_words": {str(t): [int(w) for w in ids_]
+                           for t, ids_ in task_words.items()}}
+    if out_dir is not None:
+        with open(os.path.join(out_dir, "vlmap_desc_meta.json"), "w") as fh:
+            json.dump(meta, fh)
+    log.info("vlmap_desc artifacts: %d blanks (%s), %d words, %d tasks",
+             n, dict(meta["pattern_counts"]), len(words), len(task_names))
     return out

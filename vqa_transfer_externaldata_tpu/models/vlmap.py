@@ -1,4 +1,4 @@
-"""Stage-1 pretraining model (reference C6, ``model_vlmap`` family).
+"""Stage-1 pretraining models (reference C6, ``model_vlmap`` family).
 
 Task-conditional visual classifiers over Visual Genome region descriptions:
 given a region's visual feature and a discovered task (visual-word group),
@@ -7,9 +7,22 @@ GloVe-initialized and trained jointly. After pretraining, the word-embedding
 table (plus the visual projection) is what transfers into the stage-2 VQA
 model's answer classifier (reference C12; SURVEY.md section 0).
 
+Two variants, mirroring the reference's ``model_vlmap_*`` files:
+
+- :class:`VLMapModel` — word-level: score candidate words from the region
+  feature alone (FiLM task conditioning).
+- :class:`VLMapDescriptionModel` — description-level blank fill: a GRU in
+  the SAME word space encodes the region phrase with the target blanked
+  out (data/visualgenome.build_vlmap_description_artifacts); the visual
+  feature + description context + task jointly predict the blanked word.
+  This is the ``_answer``-shaped variant whose weights transfer: it
+  exposes the identical ``word_emb/embedding`` path, so
+  utils/checkpoint.transfer_init consumes either variant unchanged.
+
 Batch format: ``feature`` [B, C] region visual feature, ``task`` [B] int32
 task id, ``candidates`` [B, K] int32 word ids (row 0..K-1, one positive),
-``label`` [B] int32 index of the positive within candidates.
+``label`` [B] int32 index of the positive within candidates; the
+description variant adds ``desc_ids`` [B, T] (blank = <unk>).
 """
 
 from __future__ import annotations
@@ -22,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vqa_transfer_externaldata_tpu.ops.layers import MLP, l2_normalize
+from vqa_transfer_externaldata_tpu.utils.vocab import PAD_ID
 
 
 class VLMapModel(nn.Module):
@@ -40,7 +54,6 @@ class VLMapModel(nn.Module):
                  candidates: jnp.ndarray, *,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
         dt = self.dtype
-        B, K = candidates.shape
 
         # Shared word-embedding space (the transferable artifact). Stored
         # under the same param path ("word_emb/embedding") as the VQA
@@ -59,17 +72,12 @@ class VLMapModel(nn.Module):
         z = MLP([self.hidden_dim, self.word_dim], dropout=self.dropout,
                 dtype=dt, name="visual_proj")(x, train=train)
 
-        # Candidate scoring: gather candidate embeddings and score by scaled
-        # cosine similarity in the shared space.
-        cand_emb = jnp.take(word_emb, candidates.reshape(-1), axis=0)
-        cand_emb = cand_emb.reshape(B, K, self.word_dim)
-        zn = l2_normalize(z.astype(jnp.float32))
-        en = l2_normalize(cand_emb.astype(jnp.float32))
+        # Candidate scoring: scaled cosine similarity in the shared space.
         scale = self.param("logit_scale", nn.initializers.constant(10.0),
                            (), jnp.float32)
-        logits = jnp.einsum("bd,bkd->bk", zn, en,
-                            preferred_element_type=jnp.float32) * scale
-        return {"logits": logits, "projection": zn}
+        logits = _score_candidates(z, word_emb, candidates, scale)
+        return {"logits": logits,
+                "projection": l2_normalize(z.astype(jnp.float32))}
 
     def _word_table(self) -> jnp.ndarray:
         """Nested-scope param so the table lives at params/word_emb/embedding,
@@ -91,6 +99,74 @@ class _WordTable(nn.Module):
     def __call__(self) -> jnp.ndarray:
         return self.param("embedding", self.init_fn,
                           (self.vocab_size, self.dim), jnp.float32)
+
+
+def _score_candidates(z: jnp.ndarray, word_emb: jnp.ndarray,
+                      candidates: jnp.ndarray, scale: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Scaled cosine similarity of projection ``z`` [B, D] against the
+    candidate rows [B, K] of the shared word table -> logits [B, K]."""
+    B, K = candidates.shape
+    cand_emb = jnp.take(word_emb, candidates.reshape(-1), axis=0)
+    cand_emb = cand_emb.reshape(B, K, word_emb.shape[-1])
+    zn = l2_normalize(z.astype(jnp.float32))
+    en = l2_normalize(cand_emb.astype(jnp.float32))
+    return jnp.einsum("bd,bkd->bk", zn, en,
+                      preferred_element_type=jnp.float32) * scale
+
+
+class VLMapDescriptionModel(nn.Module):
+    """Description blank-fill variant (reference C6's description/answer
+    encoder models): GRU over the blanked region phrase in the shared word
+    space, fused with the task-conditioned visual feature, scoring
+    same-task candidate words for the blank."""
+
+    vocab_size: int
+    num_tasks: int = 32
+    feature_dim: int = 2048
+    word_dim: int = 300
+    rnn_dim: int = 256
+    task_dim: int = 64
+    hidden_dim: int = 1024
+    dropout: float = 0.5
+    dtype: Any = jnp.bfloat16
+    use_pallas: bool = True
+    word_init: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(self, feature: jnp.ndarray, desc_ids: jnp.ndarray,
+                 task: jnp.ndarray, candidates: jnp.ndarray, *,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        from vqa_transfer_externaldata_tpu.ops.gru import GRUEncoder
+
+        dt = self.dtype
+        if self.word_init is not None:
+            winit = lambda *_: jnp.asarray(self.word_init, jnp.float32)
+        else:
+            winit = nn.initializers.normal(0.01)
+        word_emb = _WordTable(self.vocab_size, self.word_dim, winit,
+                              name="word_emb")()
+
+        # Blanked-description encoder in the shared word space (the blank
+        # itself is <unk>, which stays visible to the GRU as context).
+        words = jnp.take(word_emb, desc_ids, axis=0).astype(dt)
+        mask = (desc_ids != PAD_ID).astype(jnp.float32)
+        d = GRUEncoder(self.rnn_dim, dtype=dt, use_pallas=self.use_pallas,
+                       name="desc_gru")(words, mask)
+
+        task_table = self.param("task_embedding",
+                                nn.initializers.normal(0.02),
+                                (self.num_tasks, self.task_dim), jnp.float32)
+        t_emb = jnp.take(task_table, task, axis=0).astype(dt)
+        x = jnp.concatenate([feature.astype(dt), d.astype(dt), t_emb],
+                            axis=-1)
+        z = MLP([self.hidden_dim, self.word_dim], dropout=self.dropout,
+                dtype=dt, name="visual_proj")(x, train=train)
+        scale = self.param("logit_scale", nn.initializers.constant(10.0),
+                           (), jnp.float32)
+        logits = _score_candidates(z, word_emb, candidates, scale)
+        return {"logits": logits, "projection": l2_normalize(
+            z.astype(jnp.float32))}
 
 
 def vlmap_loss(outputs: Dict[str, jnp.ndarray],

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from vqa_transfer_externaldata_tpu.config import Config
-from vqa_transfer_externaldata_tpu.models.vlmap import VLMapModel, vlmap_loss
+from vqa_transfer_externaldata_tpu.models.vlmap import (
+    VLMapDescriptionModel, VLMapModel, vlmap_loss)
 from vqa_transfer_externaldata_tpu.models.vqa_attention import (
     VQAAttentionModel, vqa_loss)
 from vqa_transfer_externaldata_tpu.models.vqa_baseline import (
@@ -30,7 +31,8 @@ class ModelSpec:
     inputs: Callable[[Dict[str, jnp.ndarray]], Tuple]
     loss: Callable[[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]],
                    Tuple[jnp.ndarray, Dict]]
-    stage: str  # "vqa" | "vlmap"
+    # "vqa" (stage 2) or a stage-1 artifact prefix ("vlmap", "vlmap_desc")
+    stage: str
 
 
 def build_model(cfg: Config,
@@ -69,6 +71,16 @@ def build_model(cfg: Config,
         return ModelSpec(module,
                          lambda b: (b["feature"], b["task"], b["candidates"]),
                          vlmap_loss, "vlmap")
+    if name == "vlmap_description":
+        module = VLMapDescriptionModel(
+            vocab_size=d.vocab_size, num_tasks=m.num_tasks,
+            feature_dim=d.pool5_dim, word_dim=m.word_dim,
+            rnn_dim=m.rnn_dim, task_dim=m.task_dim, dropout=m.dropout,
+            dtype=dt, use_pallas=m.use_pallas, word_init=word_init)
+        return ModelSpec(module,
+                         lambda b: (b["feature"], b["desc_ids"], b["task"],
+                                    b["candidates"]),
+                         vlmap_loss, "vlmap_desc")
     if name == "vqa_end2end":
         # Raw-image path (BASELINE config 5): built lazily to keep the
         # ResNet import out of the common path.
@@ -113,6 +125,8 @@ def example_batch(cfg: Config, batch_size: int = 1) -> Dict[str, np.ndarray]:
         b["task"] = np.zeros((n,), np.int32)
         b["candidates"] = np.zeros((n, m.num_candidates), np.int32)
         b["label"] = np.zeros((n,), np.int32)
+        if name == "vlmap_description":
+            b["desc_ids"] = np.zeros((n, d.max_question_len), np.int32)
     else:
         b["features"] = np.zeros((n, d.grid_h * d.grid_w, d.feature_dim),
                                  np.float32)
@@ -120,4 +134,4 @@ def example_batch(cfg: Config, batch_size: int = 1) -> Dict[str, np.ndarray]:
 
 
 MODELS = ("vqa_attention", "vqa_attention2", "vqa_baseline", "vlmap",
-          "vqa_end2end")
+          "vlmap_description", "vqa_end2end")
