@@ -114,6 +114,52 @@ def test_vg_task_discovery_and_artifacts(tmp_path):
     assert train["task"].max() < 3
 
 
+def test_wordnet_task_discovery_branch(monkeypatch):
+    """The WordNet grouping path (visualgenome.py:144-158) via a mocked
+    lexname oracle — this box has no WordNet corpus, so only the mock can
+    exercise grouping, small-group merge, and the num_tasks cap."""
+    from vqa_transfer_externaldata_tpu.data import visualgenome as vg
+
+    lexmap = {
+        # 8 animals (>= min_task_size) -> its own task
+        "cat": "noun.animal", "dog": "noun.animal", "bird": "noun.animal",
+        "horse": "noun.animal", "cow": "noun.animal", "fish": "noun.animal",
+        "sheep": "noun.animal", "goat": "noun.animal",
+        # 8 artifacts -> its own task
+        "car": "noun.artifact", "bus": "noun.artifact",
+        "train": "noun.artifact", "boat": "noun.artifact",
+        "chair": "noun.artifact", "table": "noun.artifact",
+        "lamp": "noun.artifact", "door": "noun.artifact",
+        # 2 colors: below min_task_size -> merged into misc (task 0)
+        "red": "adj.all", "blue": "adj.all",
+        # unknown word -> None -> misc
+        "zzyzx": None,
+    }
+    monkeypatch.setattr(vg, "_wordnet_lexname", lambda w: lexmap.get(w))
+    words = list(lexmap)
+    word_to_task, task_names = vg.discover_tasks(words, num_tasks=8,
+                                                 min_task_size=8)
+    assert task_names[0] == "misc"
+    assert set(task_names) == {"misc", "noun.animal", "noun.artifact"}
+    animal = task_names.index("noun.animal")
+    artifact = task_names.index("noun.artifact")
+    assert {word_to_task[w] for w in
+            ("cat", "dog", "bird", "horse")} == {animal}
+    assert {word_to_task[w] for w in ("car", "bus", "lamp")} == {artifact}
+    # small adj.all group and the lexname-less word both land in misc
+    assert word_to_task["red"] == word_to_task["blue"] == 0
+    assert word_to_task["zzyzx"] == 0
+
+    # num_tasks cap: only the largest groups become tasks
+    word_to_task2, task_names2 = vg.discover_tasks(words, num_tasks=2,
+                                                   min_task_size=8)
+    assert len(task_names2) == 2 and task_names2[0] == "misc"
+    # the group that lost its slot merges into misc
+    dropped = ({"noun.animal", "noun.artifact"} - set(task_names2)).pop()
+    lost = [w for w in words if lexmap[w] == dropped]
+    assert {word_to_task2[w] for w in lost} == {0}
+
+
 def test_extract_and_joined_dataset(tmp_path):
     from PIL import Image
 

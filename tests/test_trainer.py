@@ -200,3 +200,34 @@ def test_checkpoint_resume_bitwise(tiny_config, tmp_path,
             jax.tree_util.tree_leaves_with_path(pc)):
         np.testing.assert_allclose(np.asarray(va), np.asarray(vc),
                                    rtol=1e-5, atol=1e-6, err_msg=str(path))
+
+
+def test_put_sharded_multiprocess_assembly(eight_cpu_devices, monkeypatch):
+    """put_sharded's multi-host branch (make_array_from_process_local_data)
+    must produce the same global arrays device_put does. Single-process the
+    local data IS the global array for every sharding, so forcing the
+    branch validates the assembly path end-to-end on the fake 8-CPU mesh
+    (a real multi-host slice only changes which rows each process passes)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vqa_transfer_externaldata_tpu.parallel import mesh as mesh_mod
+
+    mesh = create_mesh()
+    bshard = NamedSharding(mesh, P(mesh.axis_names[0]))
+    repl = NamedSharding(mesh, P())
+    batch = {"features": np.random.default_rng(0)
+             .normal(size=(16, 4)).astype(np.float32),
+             "answer_id": np.arange(16, dtype=np.int32)}
+
+    want = jax.device_put(batch, bshard)
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    got = mesh_mod.put_sharded(batch, bshard)
+    for k in batch:
+        assert got[k].sharding == bshard
+        np.testing.assert_array_equal(np.asarray(jax.device_get(got[k])),
+                                      np.asarray(jax.device_get(want[k])))
+    # replicated shardings: every process passes the full array
+    rep = mesh_mod.put_sharded(batch["features"], repl)
+    assert rep.sharding == repl
+    np.testing.assert_array_equal(np.asarray(jax.device_get(rep)),
+                                  batch["features"])

@@ -116,6 +116,14 @@ class TrainConfig:
     # Transfer (stage-2) init: path to a stage-1 (vlmap) checkpoint whose
     # word/answer embedding space seeds the answer classifier (reference C12).
     pretrained_param_path: str = ""
+    # Comma-separated param names to freeze (zero updates), matched against
+    # any component of the param tree path — e.g.
+    # "answer_embedding,logit_bias" keeps the transferred answer space
+    # fixed during fine-tuning, the paper's protocol for answering
+    # out-of-vocabulary answers (SURVEY.md section 0: OOV rows must keep
+    # their pretrained geometry rather than being pushed away by the
+    # softmax over in-vocab training targets).
+    freeze_params: str = ""
     donate_state: bool = True
     # Rematerialize the forward in the backward pass (jax.checkpoint):
     # trades ~1 extra forward of FLOPs for activation memory — enables

@@ -237,6 +237,76 @@ def synthetic_vlmap_desc(cfg: Config, *, size: Optional[int] = None,
     return ArrayDataset(arrays)
 
 
+def synthetic_transfer_corpus(cfg: Config, *, n_vlmap: int = 4096,
+                              n_train: int = 4096, n_val: int = 1024,
+                              oov_fraction: float = 0.25,
+                              noise: float = 0.3, seed: int = 0):
+    """Synthetic two-stage corpus for demonstrating the paper's core claim:
+    answer-embedding transfer lets the VQA model answer answers it NEVER
+    saw as training targets (SURVEY.md section 0; BASELINE north-star).
+
+    Construction: every answer word ``a`` owns a latent concept vector
+    ``c_a``. Stage-1 (vlmap) examples cover ALL answer words — the
+    "external data" — pairing noisy visual features ``c_a + eps`` with the
+    word, so pretraining embeds each word consistently with its visual
+    concept. Stage-2 train rows use only the in-vocabulary answer subset;
+    the val split draws from ALL answers. A transfer-initialized (and
+    frozen) answer table places held-out answers' rows at their pretrained
+    word embeddings, so the fusion trained on in-vocab answers scores OOV
+    answers by the same visual->word geometry; a scratch-initialized table
+    leaves OOV rows random (chance accuracy).
+
+    Requires ``data.feature_dim == data.pool5_dim`` (the two stages share
+    the latent concept space). Returns
+    ``(vlmap_ds, vqa_train_ds, vqa_val_ds, oov_answer_ids)``.
+    """
+    d, m = cfg.data, cfg.model
+    assert d.feature_dim == d.pool5_dim, (
+        "synthetic_transfer_corpus shares one concept space: set "
+        f"feature_dim == pool5_dim (got {d.feature_dim} vs {d.pool5_dim})")
+    A, D = d.num_answers, d.pool5_dim
+    rng = np.random.default_rng(seed)
+    answer_ids = np.arange(4, A, dtype=np.int32)  # skip specials
+    n_oov = max(1, int(round(answer_ids.size * oov_fraction)))
+    oov_ids = np.sort(rng.choice(answer_ids, size=n_oov, replace=False))
+    in_ids = np.setdiff1d(answer_ids, oov_ids)
+
+    concept = np.zeros((A, D), np.float32)
+    concept[4:] = rng.standard_normal((A - 4, D)).astype(np.float32)
+    concept /= np.maximum(
+        np.linalg.norm(concept, axis=1, keepdims=True), 1e-6)
+
+    # Stage 1: external data covers every answer word.
+    K = m.num_candidates
+    w = rng.choice(answer_ids, size=n_vlmap).astype(np.int32)
+    feature = (concept[w] + noise * rng.standard_normal(
+        (n_vlmap, D)).astype(np.float32))
+    task = ((w - 4) % m.num_tasks).astype(np.int32)
+    candidates = rng.choice(answer_ids, size=(n_vlmap, K)).astype(np.int32)
+    label = rng.integers(0, K, size=n_vlmap).astype(np.int32)
+    candidates[np.arange(n_vlmap), label] = w
+    vlmap_ds = ArrayDataset({"feature": feature, "task": task,
+                             "candidates": candidates, "label": label})
+
+    N = d.grid_h * d.grid_w
+    T = d.max_question_len
+
+    def vqa_rows(n: int, ids: np.ndarray) -> ArrayDataset:
+        a = rng.choice(ids, size=n).astype(np.int32)
+        grid = (concept[a][:, None, :] + noise * rng.standard_normal(
+            (n, N, D)).astype(np.float32))
+        # Questions are uninformative filler (the image determines the
+        # answer) — the point under test is the answer-space geometry.
+        q_ids = rng.integers(4, d.vocab_size, size=(n, T)).astype(np.int32)
+        scores = np.zeros((n, A), np.float32)
+        scores[np.arange(n), a] = 1.0
+        return ArrayDataset({"features": grid, "q_ids": q_ids,
+                             "answer_id": a, "answer_scores": scores})
+
+    return vlmap_ds, vqa_rows(n_train, in_ids), vqa_rows(n_val, answer_ids), \
+        oov_ids
+
+
 class PrefetchIterator:
     """Background-thread prefetch over a batch iterator (reference C5/C7's
     TF1 queue runners, rebuilt as a bounded queue): the host prepares the

@@ -47,6 +47,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_sharded(tree: Any, sharding: NamedSharding) -> Any:
+    """Host arrays -> global device arrays under ``sharding``.
+
+    Single-process: plain ``device_put``. Multi-process (a real multi-host
+    slice): the sharding spans non-addressable devices, so ``device_put``
+    cannot build the global array — each process holds only its local rows
+    (the per-process dataset shard from ``Dataset.batches(shard=...)``) and
+    the global array is assembled with
+    ``jax.make_array_from_process_local_data``. For replicated shardings
+    every process passes the full array (local == global). The trainer
+    routes every per-step upload through here, so the same loop is correct
+    on one host and on a multi-host slice.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), tree)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Host numpy batch -> device arrays sharded on the data axis."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    return put_sharded(batch, batch_sharding(mesh))

@@ -23,7 +23,7 @@ import optax
 from vqa_transfer_externaldata_tpu.config import Config
 from vqa_transfer_externaldata_tpu.models.zoo import ModelSpec
 from vqa_transfer_externaldata_tpu.parallel.mesh import (
-    batch_sharding, create_mesh, replicated)
+    batch_sharding, create_mesh, put_sharded, replicated)
 from vqa_transfer_externaldata_tpu.utils.checkpoint import CheckpointManager
 from vqa_transfer_externaldata_tpu.utils.logging import MetricWriter, Timer, log
 
@@ -52,6 +52,23 @@ def make_lr_schedule(cfg: Config) -> optax.Schedule:
     return schedule
 
 
+def _freeze_mask_fn(names_csv: str) -> Callable[[Any], Any]:
+    """Pytree-of-bools mask: True (frozen) where any path component of the
+    leaf matches a name in the comma-separated list."""
+    names = {n.strip() for n in names_csv.split(",") if n.strip()}
+
+    def mask(params: Any) -> Any:
+        def rec(tree: Any, hit: bool) -> Any:
+            if isinstance(tree, dict):
+                return {k: rec(v, hit or k in names)
+                        for k, v in tree.items()}
+            return hit
+
+        return rec(params, False)
+
+    return mask
+
+
 def make_optimizer(cfg: Config) -> Tuple[optax.GradientTransformation,
                                          optax.Schedule]:
     t = cfg.train
@@ -61,6 +78,13 @@ def make_optimizer(cfg: Config) -> Tuple[optax.GradientTransformation,
         optax.adamw(lr, b1=t.adam_beta1, b2=t.adam_beta2, eps=t.adam_eps,
                     weight_decay=t.weight_decay),
     )
+    if t.freeze_params:
+        # Zero the final updates for frozen leaves (after adamw, so weight
+        # decay cannot leak in). The transferred answer space stays exactly
+        # as transfer_init wrote it.
+        tx = optax.chain(
+            tx, optax.masked(optax.set_to_zero(),
+                             _freeze_mask_fn(t.freeze_params)))
     return tx, lr
 
 
@@ -117,8 +141,8 @@ class Trainer:
             if extra_vars is None:
                 _, fresh_extra = jax.jit(init_fn,
                                          out_shardings=self._repl)()
-            params = jax.device_put(params, self._repl)
-        extra_vars = (jax.device_put(extra_vars, self._repl)
+            params = put_sharded(params, self._repl)
+        extra_vars = (put_sharded(extra_vars, self._repl)
                       if extra_vars is not None else fresh_extra)
 
         def opt_init(p):
@@ -254,12 +278,12 @@ class Trainer:
                     group.append(group[-1])
                 batch = {key: np.stack([g[key] for g in group])
                          for key in group[0]}
-                batch = jax.device_put(batch, self._bstack_shard)
+                batch = put_sharded(batch, self._bstack_shard)
                 state, pending = self._train_step(state, batch)
                 step += k
             else:
                 batch = self._cast_features_host(next(train_batches))
-                batch = jax.device_put(batch, self._bshard)
+                batch = put_sharded(batch, self._bshard)
                 state, pending = self._train_step(state, batch)
                 step += 1
             if t.profile_steps and step == profile_until:
@@ -311,7 +335,7 @@ class Trainer:
         nbytes = sum(v.nbytes for v in arrays.values())
         log.info("device-resident dataset: %d rows, %.2f GB uploaded once",
                  ds.size, nbytes / 1e9)
-        dev_arrays = jax.device_put(arrays, self._repl)
+        dev_arrays = put_sharded(arrays, self._repl)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         idx_shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
@@ -337,8 +361,16 @@ class Trainer:
         indices = ds.index_batches(t.batch_size, seed=t.seed)
         log.info("training (device-resident) from step %d to %d over %s",
                  stepno, max_steps, self.mesh)
+        # Multi-host: index batches are generated identically on every
+        # process (same seed); each process contributes its contiguous
+        # local rows of the globally data-sharded index vector.
+        pi, pc = jax.process_index(), jax.process_count()
         while stepno < max_steps:
-            idx = jax.device_put(next(indices), idx_shard)
+            idx = next(indices)
+            if pc > 1:
+                local = idx.shape[0] // pc
+                idx = idx[pi * local:(pi + 1) * local]
+            idx = put_sharded(idx, idx_shard)
             state, pending = step(state, idx, dev_arrays)
             stepno += 1
             if stepno % t.log_every == 0 or stepno >= max_steps:
@@ -399,7 +431,7 @@ class Trainer:
             # Same bf16 the model would cast to on device — halves the
             # host->device bytes at identical numerics.
             batch = self._cast_features_host(batch)
-            batch = jax.device_put(batch, self._bshard)
+            batch = put_sharded(batch, self._bshard)
             p, m = self._eval_step(state.params, state.extra_vars, batch)
             preds.append(np.asarray(jax.device_get(p)))
             m = {k: float(jax.device_get(v)) for k, v in m.items()}
