@@ -231,3 +231,56 @@ def test_put_sharded_multiprocess_assembly(eight_cpu_devices, monkeypatch):
     assert rep.sharding == repl
     np.testing.assert_array_equal(np.asarray(jax.device_get(rep)),
                                   batch["features"])
+
+
+def test_device_resident_joined_dataset_matches_streaming(
+        tiny_config, tmp_path, eight_cpu_devices):
+    """The TPU-native feature join: fit_resident over a JoinedDataset
+    (question table + deduplicated store uploaded once, two-level on-device
+    gather) must match the streaming host-side join bit-for-tolerance."""
+    from vqa_transfer_externaldata_tpu.data.features import (
+        FeatureStore, JoinedDataset)
+
+    cfg = tiny_config.replace_flat({"model.model": "vqa_attention",
+                                    "model.dropout": 0.0,
+                                    "model.dtype": "float32"})
+    d = cfg.data
+    rng = np.random.default_rng(0)
+    M, n = 16, 128
+    store_path = str(tmp_path / "store.npz")
+    np.savez(store_path,
+             grid=rng.normal(size=(M, d.grid_h, d.grid_w, d.feature_dim))
+             .astype(np.float16),
+             pool5=rng.normal(size=(M, d.pool5_dim)).astype(np.float32),
+             image_ids=np.arange(M, dtype=np.int64))
+    rows = {
+        "q_ids": rng.integers(4, d.vocab_size,
+                              size=(n, d.max_question_len)).astype(np.int32),
+        "answer_id": rng.integers(4, d.num_answers, size=n).astype(np.int32),
+        "image_index": rng.integers(0, M, size=n).astype(np.int32),
+    }
+    spec = build_model(cfg)
+
+    def joined():
+        return JoinedDataset(dict(rows), FeatureStore(store_path),
+                             index_key="image_index",
+                             feature_keys=("features", "pool5"))
+
+    ds_a = joined()
+    tr_a = Trainer(cfg, spec, train_dir=str(tmp_path / "stream"))
+    sa = tr_a.init_state(next(ds_a.batches(1, epochs=1, shuffle=False)))
+    sa = tr_a.fit(ds_a.batches(cfg.train.batch_size, seed=cfg.train.seed),
+                  sa, max_steps=6)
+    tr_a.close()
+
+    ds_b = joined()
+    tr_b = Trainer(cfg, spec, train_dir=str(tmp_path / "resident"))
+    sb = tr_b.init_state(next(ds_b.batches(1, epochs=1, shuffle=False)))
+    sb = tr_b.fit_resident(ds_b, sb, max_steps=6)
+    tr_b.close()
+
+    for (p, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(jax.device_get(sa.params)),
+            jax.tree_util.tree_leaves_with_path(jax.device_get(sb.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(p))

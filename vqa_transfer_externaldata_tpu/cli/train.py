@@ -91,15 +91,20 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
     if val_ds is not None:
         eval_fn = lambda: padded_batches(val_ds, cfg.train.batch_size)[0]
     from vqa_transfer_externaldata_tpu.data.datasets import ArrayDataset
+    from vqa_transfer_externaldata_tpu.data.features import JoinedDataset
 
-    if cfg.train.device_data_cache and type(train_ds) is ArrayDataset:
-        # Whole dataset uploaded once; per-step traffic = batch indices.
+    if cfg.train.device_data_cache and (
+            type(train_ds) is ArrayDataset
+            or isinstance(train_ds, JoinedDataset)):
+        # Whole dataset uploaded once (for JoinedDataset: question table +
+        # deduplicated feature store, joined by an on-device gather);
+        # per-step traffic = batch indices.
         state = trainer.fit_resident(train_ds, state,
                                      eval_batches_fn=eval_fn)
     else:
         if cfg.train.device_data_cache:
-            log.warning("device_data_cache requires a plain ArrayDataset "
-                        "(got %s); streaming batches instead",
+            log.warning("device_data_cache requires an ArrayDataset or "
+                        "JoinedDataset (got %s); streaming batches instead",
                         type(train_ds).__name__)
         # Multi-host data parallelism: each process consumes a disjoint
         # stride of the identically-seeded epoch permutation (single

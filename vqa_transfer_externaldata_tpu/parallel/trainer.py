@@ -327,15 +327,55 @@ class Trainer:
         host-side, halving the transfer) and each step gathers its batch
         on-device from a [batch]-int32 index vector — the only per-step
         host->device traffic. For datasets that fit in HBM; essential when
-        the host link is slow (this box's relay: 0.06 GB/s)."""
+        the host link is slow (this box's relay: 0.06 GB/s).
+
+        ``JoinedDataset`` is first-class here, and is the TPU-native form
+        of the reference's deduplicated per-image HDF5 layout: the small
+        question table AND the deduplicated feature store upload once, and
+        each step runs a TWO-level on-device gather (batch rows, then
+        ``image_index``/``region_index`` into the store). The store stays
+        deduplicated in HBM — versus per-question feature copies this is a
+        >3x memory saving on VQA v2 shapes, and it subsumes the host-side
+        feature join entirely (no per-step host gather, no upload)."""
         t = self.cfg.train
         max_steps = max_steps if max_steps is not None else t.max_steps
+        from vqa_transfer_externaldata_tpu.data.features import JoinedDataset
+
         arrays = {k: np.asarray(v) for k, v in ds.arrays.items()}
         arrays = self._cast_features_host(arrays)
-        nbytes = sum(v.nbytes for v in arrays.values())
-        log.info("device-resident dataset: %d rows, %.2f GB uploaded once",
-                 ds.size, nbytes / 1e9)
-        dev_arrays = put_sharded(arrays, self._repl)
+        data: Dict[str, Any] = {"rows": arrays}
+        joined = isinstance(ds, JoinedDataset)
+        index_key, feature_keys = "", ()
+        if joined:
+            index_key, feature_keys = ds.index_key, ds.feature_keys
+            grid = np.asarray(ds.store.grid)
+            if grid.ndim == 4:  # [M, g, g, C] -> [M, N, C] (same bytes)
+                M, gh, gw, C = grid.shape
+                grid = grid.reshape(M, gh * gw, C)
+            store = {"grid": grid,
+                     "pool5": np.asarray(ds.store.pool5, np.float32)}
+            # f16-on-disk grids upload at half width and compute as the
+            # model dtype; pool5 casts like the streaming path.
+            store = self._cast_features_host(
+                {"features": store["grid"], "pool5": store["pool5"]})
+            if store["features"].dtype == np.float16:
+                import ml_dtypes
+
+                from vqa_transfer_externaldata_tpu.ops.layers import dtype_of
+
+                if dtype_of(self.cfg.model.dtype) == jnp.bfloat16:
+                    store["features"] = store["features"].astype(
+                        ml_dtypes.bfloat16)
+            data["grid"] = store["features"]
+            data["pool5"] = store["pool5"]
+        nbytes = sum(v.nbytes for part in data.values()
+                     for v in (part.values() if isinstance(part, dict)
+                               else [part]))
+        log.info("device-resident dataset: %d rows%s, %.2f GB uploaded once",
+                 ds.size,
+                 f" + {data['grid'].shape[0]}-row feature store"
+                 if joined else "", nbytes / 1e9)
+        dev_arrays = put_sharded(data, self._repl)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         idx_shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
@@ -345,7 +385,14 @@ class Trainer:
         # arrays get embedded as HLO constants and shipped to the compiler
         # (the remote compile service rejects the GB-sized request).
         def step_idx(state, idx, data):
-            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            batch = {k: jnp.take(v, idx, axis=0)
+                     for k, v in data["rows"].items()}
+            if joined:  # second-level gather: store rows by image/region
+                rows = batch[index_key]
+                for key in feature_keys:
+                    src = "pool5" if key in ("feature", "pool5") else "grid"
+                    name = "features" if src == "grid" else key
+                    batch[name] = jnp.take(data[src], rows, axis=0)
             return raw_step(state, batch)
 
         donate = (0,) if t.donate_state else ()
