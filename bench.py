@@ -1,18 +1,30 @@
-"""Benchmark: flagship VQA-attention training throughput on real hardware.
+"""Benchmark: honest end-to-end training throughput on real hardware.
 
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 North-star metric (BASELINE.json): VQA v2 questions/sec/chip at global batch
-256. The reference never published throughput (BASELINE.md), so
-``vs_baseline`` is measured against this project's own recorded round-1
-number (kept in BASELINE.md) — >1.0 means faster than round 1.
+256. Unlike the round-1 bench (32 repeats of ONE device-resident batch — a
+compute ceiling), this drives the PRODUCT path end-to-end: a multi-batch
+corpus in the production layout (deduplicated f16 feature store + question
+table, data/datasets.synthetic_vqa_joined) trained through the shared
+``Trainer.fit_resident`` loop — per-step index generation, host->device
+index upload, two-level on-device feature join, train step, metric
+fetch/logging cadence. Throughput is read from the trainer's own logged
+windows (first window discarded: compile).
+
+``vs_baseline`` compares against BENCH_r01's 53,966 q/s/chip compute
+CEILING (not the weaker round-1 pipeline number), so >1.0 means the full
+pipeline now beats last round's best-case kernel-only measurement.
+
+The reference never published throughput (BASELINE.md).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import tempfile
 import time
 
 # Persistent compilation cache: repeated bench runs skip the (remote,
@@ -23,107 +35,86 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import jax
 import numpy as np
 
-# Round-1 recorded value on 1x TPU v5e (questions/sec/chip, batch 256),
-# measured 2026-08-16 with the fused Pallas attention path (see BASELINE.md).
-ROUND1_BASELINE = 28466.0
+# BENCH_r01 recorded ceiling on 1x TPU v5e (questions/sec/chip, batch 256,
+# single resident batch, compute only) — the bar the end-to-end pipeline
+# number is measured against.
+ROUND1_CEILING = 53966.0
 
 
 def main() -> None:
     from vqa_transfer_externaldata_tpu.config import Config
-    from vqa_transfer_externaldata_tpu.data.datasets import synthetic_vqa
+    from vqa_transfer_externaldata_tpu.data.datasets import (
+        synthetic_vqa_joined)
     from vqa_transfer_externaldata_tpu.models.zoo import build_model
-    from vqa_transfer_externaldata_tpu.parallel.mesh import create_mesh
-    from vqa_transfer_externaldata_tpu.parallel.trainer import (
-        TrainState, make_optimizer)
-    import jax.numpy as jnp
-    import optax
+    from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
 
-    batch_size = 256
-    cfg = Config().replace_flat({
-        "data.synthetic": True, "data.synthetic_size": batch_size,
-        "train.batch_size": batch_size,
-    })
     on_tpu = jax.default_backend() != "cpu"
+    batch_size = 256 if on_tpu else 32
+    window = 32 if on_tpu else 3
+    n_windows = 4
+    overrides = {
+        "data.synthetic": True,
+        "train.batch_size": batch_size,
+        "train.log_every": window,
+        "train.max_steps": window * n_windows,
+        "train.checkpoint_every": 10**9,
+        "train.eval_every": 10**9,
+        "train.device_data_cache": True,
+        # 8 steps per dispatch: amortizes the host link's ~35 ms round
+        # trip (this box's relay) the way a production config on such a
+        # host would; per-step host traffic stays at [batch] int32.
+        "train.steps_per_call": 8,
+    }
     if not on_tpu:  # CPU smoke: shrink so the bench still runs anywhere
-        batch_size = 32
-        cfg = cfg.replace_flat({
-            "data.synthetic_size": batch_size,
+        overrides.update({
             "data.vocab_size": 256, "data.num_answers": 64,
             "data.feature_dim": 256, "data.pool5_dim": 256,
             "model.rnn_dim": 64, "model.fusion_dim": 128,
             "model.att_hidden": 64, "model.dtype": "float32",
-            "train.batch_size": batch_size,
         })
+    cfg = Config().replace_flat(overrides)
+
+    n_questions = 4096 if on_tpu else 256
+    n_images = 512 if on_tpu else 32
+    ds = synthetic_vqa_joined(cfg, n_questions=n_questions,
+                              n_images=n_images, seed=0)
 
     spec = build_model(cfg)
-    ds = synthetic_vqa(cfg, size=batch_size, seed=0)
-    import jax.numpy as _jnp
+    train_dir = tempfile.mkdtemp(prefix="bench_")
+    trainer = Trainer(cfg, spec, train_dir=train_dir)
+    state = trainer.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    state = trainer.fit_resident(ds, state)
 
-    # Features ship at half width, matching the production pipeline (the
-    # extractor stores f16 grids, consumed as bf16 — data/features.py).
-    feat_dtype = _jnp.bfloat16 if on_tpu else np.float32
-    batch = {
-        "features": ds.arrays["features"].astype(feat_dtype),
-        "q_ids": ds.arrays["q_ids"],
-        "answer_id": ds.arrays["answer_id"],
-    }
+    qps_windows = []
+    with open(os.path.join(train_dir, "metrics.jsonl")) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if "train/questions_per_sec" in rec:
+                qps_windows.append(rec["train/questions_per_sec"])
+    # First window carries jit compile + dataset upload; the rest are
+    # steady-state pipeline throughput.
+    steady = qps_windows[1:] or qps_windows
+    n_chips = trainer.mesh.devices.size
+    qps_per_chip = float(np.median(steady)) / n_chips
 
-    mesh = create_mesh(cfg)
-    from vqa_transfer_externaldata_tpu.parallel.mesh import (
-        batch_sharding, replicated)
-
-    repl, bshard = replicated(mesh), batch_sharding(mesh)
-    tx, lr_fn = make_optimizer(cfg)
-
-    params = jax.jit(
-        lambda: spec.module.init(
-            {"params": jax.random.PRNGKey(0)},
-            batch["features"][:1], batch["q_ids"][:1],
-            train=False)["params"],
-        out_shardings=repl)()
-    opt_state = jax.jit(tx.init, out_shardings=repl)(params)
-    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       opt_state=opt_state, rng=jax.random.PRNGKey(1))
-    state = jax.device_put(state, repl)
-
-    def step_fn(state, batch):
-        rng, dropout_rng = jax.random.split(state.rng)
-
-        def loss_fn(p):
-            out = spec.module.apply({"params": p}, *spec.inputs(batch),
-                                    train=True, rngs={"dropout": dropout_rng})
-            loss, _ = spec.loss(out, batch)
-            return loss
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(step=state.step + 1, params=new_params,
-                          opt_state=opt_state, rng=rng), loss
-
-    step = jax.jit(step_fn, in_shardings=(repl, bshard),
-                   out_shardings=(repl, repl), donate_argnums=0)
-    dev_batch = jax.device_put(batch, bshard)
-
-    # Warmup / compile. Sync via device_get: under the axon TPU relay,
-    # block_until_ready returns before execution completes, so a value
-    # fetch is the only trustworthy barrier.
-    for _ in range(3):
-        state, loss = step(state, dev_batch)
-    float(jax.device_get(loss))
-
-    n_steps = 32 if on_tpu else 5
+    # Secondary (stderr, recorded in BASELINE.md): full-split eval q/s
+    # through the device-resident evaluator.
+    eval_fn = trainer._make_resident_evaluator(ds)
+    eval_fn(state)  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, loss = step(state, dev_batch)
-    float(jax.device_get(loss))
+    metrics, _ = eval_fn(state)
     dt = time.perf_counter() - t0
+    eval_qps = len(ds) / dt / n_chips
+    import sys
 
-    n_chips = mesh.devices.size
-    qps_per_chip = n_steps * batch_size / dt / n_chips
-    vs = (qps_per_chip / ROUND1_BASELINE) if ROUND1_BASELINE else 1.0
+    print(f"eval(resident full split): {eval_qps:,.0f} q/s/chip "
+          f"({len(ds)} rows in {dt * 1e3:.1f} ms)  acc={metrics.get('accuracy', float('nan')):.4f}",
+          file=sys.stderr)
+    trainer.close()
+
+    vs = qps_per_chip / ROUND1_CEILING
     print(json.dumps({
-        "metric": "vqa_train_questions_per_sec_per_chip_b256",
+        "metric": "vqa_e2e_train_questions_per_sec_per_chip_b256",
         "value": round(qps_per_chip, 2),
         "unit": "questions/sec/chip",
         "vs_baseline": round(vs, 4),

@@ -284,3 +284,78 @@ def test_device_resident_joined_dataset_matches_streaming(
             jax.tree_util.tree_leaves_with_path(jax.device_get(sb.params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6, err_msg=str(p))
+
+
+def test_evaluate_resident_matches_streaming(tiny_config, tmp_path,
+                                             eight_cpu_devices):
+    """evaluate_resident (on-device padded index epoch over resident data)
+    must reproduce the streaming evaluate() over padded_batches, including
+    the padded final batch (n not divisible by batch size)."""
+    from vqa_transfer_externaldata_tpu.data.features import (
+        FeatureStore, JoinedDataset)
+    from vqa_transfer_externaldata_tpu.parallel.evaler import padded_batches
+
+    cfg = tiny_config.replace_flat({"model.model": "vqa_attention",
+                                    "model.dropout": 0.0,
+                                    "model.dtype": "float32"})
+    d = cfg.data
+    rng = np.random.default_rng(3)
+    M, n = 8, 100  # 100 % 32 != 0: exercises tail padding
+    store_path = str(tmp_path / "store.npz")
+    np.savez(store_path,
+             grid=rng.normal(size=(M, d.grid_h, d.grid_w, d.feature_dim))
+             .astype(np.float16),
+             pool5=rng.normal(size=(M, d.pool5_dim)).astype(np.float32),
+             image_ids=np.arange(M, dtype=np.int64))
+    rows = {
+        "q_ids": rng.integers(4, d.vocab_size,
+                              size=(n, d.max_question_len)).astype(np.int32),
+        "answer_id": rng.integers(4, d.num_answers, size=n).astype(np.int32),
+        "image_index": rng.integers(0, M, size=n).astype(np.int32),
+    }
+    ds = JoinedDataset(rows, FeatureStore(store_path),
+                       index_key="image_index",
+                       feature_keys=("features", "pool5"))
+    spec = build_model(cfg)
+    tr = Trainer(cfg, spec, train_dir=str(tmp_path / "t"))
+    state = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+
+    batches, n_rows = padded_batches(ds, cfg.train.batch_size)
+    m_stream, p_stream = tr.evaluate(state, batches)
+    m_res, p_res = tr.evaluate_resident(state, ds)
+    tr.close()
+
+    np.testing.assert_array_equal(p_res, p_stream[:n_rows])
+    assert set(m_res) == set(m_stream)
+    for k in m_stream:
+        np.testing.assert_allclose(m_res[k], m_stream[k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+
+
+def test_resident_steps_per_call_matches_single(tiny_config, tmp_path,
+                                                eight_cpu_devices):
+    """fit_resident with k steps fused per dispatch (scan over stacked
+    index rows) == one-step-per-dispatch, same data order, same params."""
+    cfg1 = tiny_config.replace_flat({"model.model": "vqa_baseline",
+                                     "model.dropout": 0.0,
+                                     "model.dtype": "float32"})
+    cfg4 = cfg1.replace_flat({"train.steps_per_call": 4})
+    spec = build_model(cfg1)
+    ds = load_dataset(cfg1, "train", stage=spec.stage)
+
+    tr_a = Trainer(cfg1, spec, train_dir=str(tmp_path / "k1"))
+    sa = tr_a.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    sa = tr_a.fit_resident(ds, sa, max_steps=8)
+    tr_a.close()
+
+    tr_b = Trainer(cfg4, spec, train_dir=str(tmp_path / "k4"))
+    sb = tr_b.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    sb = tr_b.fit_resident(ds, sb, max_steps=8)
+    tr_b.close()
+
+    assert int(jax.device_get(sb.step)) == 8
+    for (p, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(jax.device_get(sa.params)),
+            jax.tree_util.tree_leaves_with_path(jax.device_get(sb.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(p))

@@ -98,9 +98,11 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
             or isinstance(train_ds, JoinedDataset)):
         # Whole dataset uploaded once (for JoinedDataset: question table +
         # deduplicated feature store, joined by an on-device gather);
-        # per-step traffic = batch indices.
+        # per-step traffic = batch indices. The val split rides along
+        # device-resident too when it exists.
         state = trainer.fit_resident(train_ds, state,
-                                     eval_batches_fn=eval_fn)
+                                     eval_batches_fn=eval_fn,
+                                     eval_ds=val_ds)
     else:
         if cfg.train.device_data_cache:
             log.warning("device_data_cache requires an ArrayDataset or "

@@ -237,6 +237,67 @@ def synthetic_vlmap_desc(cfg: Config, *, size: Optional[int] = None,
     return ArrayDataset(arrays)
 
 
+def synthetic_vqa_joined(cfg: Config, *, n_questions: int = 4096,
+                         n_images: int = 512, seed: int = 0):
+    """Deduplicated synthetic corpus in the production layout: a feature
+    store of ``n_images`` unique grids (f16, like extraction output) plus a
+    question table referencing it by ``image_index`` — the shape the honest
+    end-to-end benchmark and the device-resident join run against.
+
+    Returns a :class:`~...features.JoinedDataset`. The learnable signal
+    rides on the image's pool5 exactly like :func:`synthetic_vqa`, so the
+    training loss is drivable below chance.
+    """
+    from vqa_transfer_externaldata_tpu.data.features import (
+        InMemoryFeatureStore, JoinedDataset)
+
+    d = cfg.data
+    cache = _synth_cache_path("vqaj", cfg, n_questions, seed,
+                              extra=f"_m{n_images}")
+    if os.path.isdir(cache):
+        load = lambda name: np.load(os.path.join(cache, name + ".npy"),
+                                    mmap_mode="r")
+        store = InMemoryFeatureStore(load("grid"), load("pool5"))
+        rows = {k: load(k) for k in ("q_ids", "image_index", "answer_id")}
+        return JoinedDataset(rows, store, index_key="image_index",
+                             feature_keys=("features", "pool5"))
+    rng = np.random.default_rng(seed)
+    N = d.grid_h * d.grid_w
+    pool5 = rng.standard_normal((n_images, d.pool5_dim), dtype=np.float32)
+    # Low-rank grid expansion (see synthetic_vqa): full-size f16 grids
+    # without host-RNG-bound generation.
+    rank = 32
+    thin = rng.standard_normal((n_images * N, rank), dtype=np.float32)
+    mix = np.random.default_rng(99).standard_normal(
+        (rank, d.feature_dim), dtype=np.float32) / np.float32(np.sqrt(rank))
+    grid = (thin @ mix).reshape(n_images, N, d.feature_dim)
+    grid += pool5[:, None, : d.feature_dim]
+    grid = grid.astype(np.float16)  # extraction stores f16
+
+    q_len = rng.integers(3, d.max_question_len + 1, size=n_questions)
+    q_ids = np.zeros((n_questions, d.max_question_len), np.int32)
+    for i, L in enumerate(q_len):
+        q_ids[i, :L] = rng.integers(4, d.vocab_size, size=L)
+    image_index = rng.integers(0, n_images,
+                               size=n_questions).astype(np.int32)
+    proj = np.random.default_rng(1234).standard_normal(
+        (d.pool5_dim, d.num_answers), dtype=np.float32)
+    answer = 4 + (np.argmax(pool5[image_index] @ proj, axis=1)
+                  % (d.num_answers - 4))
+    rows = {"q_ids": q_ids, "image_index": image_index,
+            "answer_id": answer.astype(np.int32)}
+    arrays = dict(rows, grid=grid, pool5=pool5)
+    if n_questions >= 256:
+        tmp = cache + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for k, v in arrays.items():
+            np.save(os.path.join(tmp, f"{k}.npy"), v)
+        os.replace(tmp, cache)
+    store = InMemoryFeatureStore(grid, pool5)
+    return JoinedDataset(rows, store, index_key="image_index",
+                         feature_keys=("features", "pool5"))
+
+
 def synthetic_transfer_corpus(cfg: Config, *, n_vlmap: int = 4096,
                               n_train: int = 4096, n_val: int = 1024,
                               oov_fraction: float = 0.25,

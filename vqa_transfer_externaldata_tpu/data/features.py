@@ -90,6 +90,22 @@ class FeatureStore:
             self._file.close()
 
 
+class InMemoryFeatureStore(FeatureStore):
+    """FeatureStore over arrays already in memory (synthetic corpora,
+    tests, benchmarks) — same gather contract, no file backend."""
+
+    def __init__(self, grid: np.ndarray, pool5: np.ndarray,
+                 image_ids: Optional[np.ndarray] = None) -> None:
+        self.path = "<memory>"
+        self._file = None
+        self._raw = False
+        self.grid = grid
+        self.pool5 = pool5
+        self.image_ids = (image_ids if image_ids is not None
+                          else np.arange(grid.shape[0], dtype=np.int64))
+        self.index_of = {int(i): k for k, i in enumerate(self.image_ids)}
+
+
 class JoinedDataset(ArrayDataset):
     """Question/region table + lazy feature join (reference C5/C7 pattern)."""
 

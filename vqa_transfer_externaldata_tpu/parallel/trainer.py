@@ -294,8 +294,11 @@ class Trainer:
                          self.train_dir)
             if (step % t.log_every < max(1, t.steps_per_call)
                     or step >= max_steps):
-                m = {key: float(jax.device_get(v))
-                     for key, v in pending.items()}
+                # ONE combined fetch: each device_get is a full relay
+                # round trip (~35 ms on this box) — per-key fetching of a
+                # 7-scalar dict costs 7 round trips.
+                m = {key: float(v)
+                     for key, v in jax.device_get(pending).items()}
                 dt = timer.reset()
                 m["steps_per_sec"] = (step - last_log) / max(dt, 1e-9)
                 m["questions_per_sec"] = m["steps_per_sec"] * t.batch_size
@@ -321,7 +324,8 @@ class Trainer:
 
     def fit_resident(self, ds, state: TrainState,
                      eval_batches_fn: Optional[Callable[[], Iterator]] = None,
-                     max_steps: Optional[int] = None) -> TrainState:
+                     max_steps: Optional[int] = None,
+                     eval_ds=None) -> TrainState:
         """Device-resident training (train.device_data_cache): the whole
         dataset is uploaded once (float features cast to the compute dtype
         host-side, halving the transfer) and each step gathers its batch
@@ -339,42 +343,11 @@ class Trainer:
         feature join entirely (no per-step host gather, no upload)."""
         t = self.cfg.train
         max_steps = max_steps if max_steps is not None else t.max_steps
-        from vqa_transfer_externaldata_tpu.data.features import JoinedDataset
-
-        arrays = {k: np.asarray(v) for k, v in ds.arrays.items()}
-        arrays = self._cast_features_host(arrays)
-        data: Dict[str, Any] = {"rows": arrays}
-        joined = isinstance(ds, JoinedDataset)
-        index_key, feature_keys = "", ()
-        if joined:
-            index_key, feature_keys = ds.index_key, ds.feature_keys
-            grid = np.asarray(ds.store.grid)
-            if grid.ndim == 4:  # [M, g, g, C] -> [M, N, C] (same bytes)
-                M, gh, gw, C = grid.shape
-                grid = grid.reshape(M, gh * gw, C)
-            store = {"grid": grid,
-                     "pool5": np.asarray(ds.store.pool5, np.float32)}
-            # f16-on-disk grids upload at half width and compute as the
-            # model dtype; pool5 casts like the streaming path.
-            store = self._cast_features_host(
-                {"features": store["grid"], "pool5": store["pool5"]})
-            if store["features"].dtype == np.float16:
-                import ml_dtypes
-
-                from vqa_transfer_externaldata_tpu.ops.layers import dtype_of
-
-                if dtype_of(self.cfg.model.dtype) == jnp.bfloat16:
-                    store["features"] = store["features"].astype(
-                        ml_dtypes.bfloat16)
-            data["grid"] = store["features"]
-            data["pool5"] = store["pool5"]
-        nbytes = sum(v.nbytes for part in data.values()
-                     for v in (part.values() if isinstance(part, dict)
-                               else [part]))
+        data, make_batch, nbytes = self._prepare_resident(ds)
         log.info("device-resident dataset: %d rows%s, %.2f GB uploaded once",
                  ds.size,
                  f" + {data['grid'].shape[0]}-row feature store"
-                 if joined else "", nbytes / 1e9)
+                 if "grid" in data else "", nbytes / 1e9)
         dev_arrays = put_sharded(data, self._repl)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -385,21 +358,47 @@ class Trainer:
         # arrays get embedded as HLO constants and shipped to the compiler
         # (the remote compile service rejects the GB-sized request).
         def step_idx(state, idx, data):
-            batch = {k: jnp.take(v, idx, axis=0)
-                     for k, v in data["rows"].items()}
-            if joined:  # second-level gather: store rows by image/region
-                rows = batch[index_key]
-                for key in feature_keys:
-                    src = "pool5" if key in ("feature", "pool5") else "grid"
-                    name = "features" if src == "grid" else key
-                    batch[name] = jnp.take(data[src], rows, axis=0)
-            return raw_step(state, batch)
+            return raw_step(state, make_batch(idx, data))
 
         donate = (0,) if t.donate_state else ()
-        step = jax.jit(step_idx,
-                       in_shardings=(self._repl, idx_shard, self._repl),
-                       out_shardings=(self._repl, self._repl),
-                       donate_argnums=donate)
+        k = max(1, t.steps_per_call)
+        if k > 1:
+            # k steps fused into one device program (lax.scan over [k, B]
+            # index rows): ONE index upload + ONE dispatch per k steps.
+            # On a high-latency host link (~35 ms/round trip here) this
+            # amortizes the per-dispatch overhead k-fold; per-step host
+            # traffic stays at B int32s.
+            kidx_shard = NamedSharding(
+                self.mesh, P(None, self.mesh.axis_names[0]))
+
+            def step_scan(state, idxs, data):
+                def body(st, idx):
+                    return raw_step(st, make_batch(idx, data))
+
+                state, ms = jax.lax.scan(body, state, idxs)
+                return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+            step = jax.jit(step_scan,
+                           in_shardings=(self._repl, kidx_shard,
+                                         self._repl),
+                           out_shardings=(self._repl, self._repl),
+                           donate_argnums=donate)
+        else:
+            step = jax.jit(step_idx,
+                           in_shardings=(self._repl, idx_shard, self._repl),
+                           out_shardings=(self._repl, self._repl),
+                           donate_argnums=donate)
+
+        # In-loop eval: a resident evaluator (val split stays in HBM too)
+        # when a dataset is given; host-streamed batches otherwise. Built
+        # lazily so short runs never pay the val-split upload.
+        resident_eval_cache: list = []
+
+        def resident_eval(state):
+            if not resident_eval_cache:
+                resident_eval_cache.append(
+                    self._make_resident_evaluator(eval_ds))
+            return resident_eval_cache[0](state)
 
         timer = Timer()
         pending: Dict[str, jax.Array] = {}
@@ -413,16 +412,30 @@ class Trainer:
         # local rows of the globally data-sharded index vector.
         pi, pc = jax.process_index(), jax.process_count()
         while stepno < max_steps:
-            idx = next(indices)
-            if pc > 1:
-                local = idx.shape[0] // pc
-                idx = idx[pi * local:(pi + 1) * local]
-            idx = put_sharded(idx, idx_shard)
-            state, pending = step(state, idx, dev_arrays)
-            stepno += 1
-            if stepno % t.log_every == 0 or stepno >= max_steps:
-                m = {key: float(jax.device_get(v))
-                     for key, v in pending.items()}
+            if k > 1:
+                group = [next(indices)
+                         for _ in range(min(k, max_steps - stepno))]
+                while len(group) < k:  # static shapes for the last call
+                    group.append(group[-1])
+                idx = np.stack(group)
+                if pc > 1:
+                    local = idx.shape[1] // pc
+                    idx = idx[:, pi * local:(pi + 1) * local]
+                idx = put_sharded(idx, kidx_shard)
+                state, pending = step(state, idx, dev_arrays)
+                stepno += k
+            else:
+                idx = next(indices)
+                if pc > 1:
+                    local = idx.shape[0] // pc
+                    idx = idx[pi * local:(pi + 1) * local]
+                idx = put_sharded(idx, idx_shard)
+                state, pending = step(state, idx, dev_arrays)
+                stepno += 1
+            if stepno % t.log_every < k or stepno >= max_steps:
+                # ONE combined fetch (each get = one ~35 ms relay trip).
+                m = {key: float(v)
+                     for key, v in jax.device_get(pending).items()}
                 dt = timer.reset()
                 m["steps_per_sec"] = (stepno - last_log) / max(dt, 1e-9)
                 m["questions_per_sec"] = m["steps_per_sec"] * t.batch_size
@@ -432,8 +445,12 @@ class Trainer:
                          m.get("loss", float("nan")),
                          m.get("accuracy", float("nan")),
                          m["questions_per_sec"])
-            if eval_batches_fn is not None and stepno % t.eval_every == 0:
-                eval_metrics, _ = self.evaluate(state, eval_batches_fn())
+            if (eval_ds is not None or eval_batches_fn is not None) \
+                    and stepno % t.eval_every < k:
+                if eval_ds is not None:
+                    eval_metrics, _ = resident_eval(state)
+                else:
+                    eval_metrics, _ = self.evaluate(state, eval_batches_fn())
                 self.metrics.write(stepno, eval_metrics, prefix="val")
                 log.info("eval @ %d: %s", stepno,
                          {k: round(v, 4) for k, v in eval_metrics.items()})
@@ -444,6 +461,126 @@ class Trainer:
             self.ckpt.save(final, state, force=True)
             self.ckpt.wait()
         return state
+
+    def _prepare_resident(self, ds) -> Tuple[Dict[str, Any], Callable, int]:
+        """Host-side prep for device-resident data: cast feature arrays to
+        the compute dtype, and for a JoinedDataset stage the deduplicated
+        store as separate ``grid``/``pool5`` planes. Returns
+        ``(data, make_batch, nbytes)`` where ``make_batch(idx, data)``
+        materializes a batch on device (one- or two-level gather)."""
+        from vqa_transfer_externaldata_tpu.data.features import JoinedDataset
+
+        arrays = {k: np.asarray(v) for k, v in ds.arrays.items()}
+        arrays = self._cast_features_host(arrays)
+        data: Dict[str, Any] = {"rows": arrays}
+        joined = isinstance(ds, JoinedDataset)
+        index_key, feature_keys = "", ()
+        if joined:
+            index_key, feature_keys = ds.index_key, ds.feature_keys
+            grid = np.asarray(ds.store.grid)
+            if grid.ndim == 4:  # [M, g, g, C] -> [M, N, C] (same bytes)
+                M, gh, gw, C = grid.shape
+                grid = grid.reshape(M, gh * gw, C)
+            # f16-on-disk grids upload at half width and compute as the
+            # model dtype; pool5 casts like the streaming path.
+            store = self._cast_features_host(
+                {"features": grid,
+                 "pool5": np.asarray(ds.store.pool5, np.float32)})
+            if store["features"].dtype == np.float16:
+                import ml_dtypes
+
+                from vqa_transfer_externaldata_tpu.ops.layers import dtype_of
+
+                if dtype_of(self.cfg.model.dtype) == jnp.bfloat16:
+                    store["features"] = store["features"].astype(
+                        ml_dtypes.bfloat16)
+            data["grid"] = store["features"]
+            data["pool5"] = store["pool5"]
+
+        def make_batch(idx, data):
+            batch = {k: jnp.take(v, idx, axis=0)
+                     for k, v in data["rows"].items()}
+            if joined:  # second-level gather: store rows by image/region
+                rows = batch[index_key]
+                for key in feature_keys:
+                    src = "pool5" if key in ("feature", "pool5") else "grid"
+                    name = "features" if src == "grid" else key
+                    batch[name] = jnp.take(data[src], rows, axis=0)
+            return batch
+
+        nbytes = sum(v.nbytes for part in data.values()
+                     for v in (part.values() if isinstance(part, dict)
+                               else [part]))
+        return data, make_batch, nbytes
+
+    def _make_resident_evaluator(self, ds) -> Callable[
+            [TrainState], Tuple[Dict[str, float], np.ndarray]]:
+        """Device-resident evaluator over ``ds``: data uploads once and the
+        ENTIRE padded index epoch runs as one ``lax.scan`` device program —
+        one dispatch and one host fetch for the whole split. On a
+        high-latency host link (this box's relay: ~35 ms per round trip) a
+        per-batch eval loop pays 3-4 round trips per batch; this pays 2
+        total."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data, make_batch, nbytes = self._prepare_resident(ds)
+        log.info("device-resident eval split: %d rows, %.2f GB uploaded "
+                 "once", ds.size, nbytes / 1e9)
+        dev_arrays = put_sharded(data, self._repl)
+        bshard = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
+        spec = self.spec
+        B = self.cfg.train.batch_size
+        n = len(ds)
+
+        # Padded index epoch, staged host-side once: [n_batches, B].
+        starts = list(range(0, n, B))
+        idxs = np.zeros((len(starts), B), np.int32)
+        masks = np.zeros((len(starts), B), np.float32)
+        for r, start in enumerate(starts):
+            stop = min(start + B, n)
+            idxs[r, :stop - start] = np.arange(start, stop)
+            masks[r, :stop - start] = 1.0
+
+        def eval_all(params, extra_vars, idxs, masks, data):
+            def body(_, xs):
+                idx, mask = xs
+                batch = make_batch(idx, data)
+                batch["example_mask"] = mask
+                outputs = spec.module.apply(
+                    {"params": params, **extra_vars},
+                    *spec.inputs(batch), train=False)
+                _, metrics = spec.loss(outputs, batch)
+                preds = jnp.argmax(outputs["logits"].astype(jnp.float32),
+                                   -1)
+                return 0, (preds, metrics)
+
+            _, (preds, metrics) = jax.lax.scan(body, 0, (idxs, masks))
+            return preds, metrics  # [n_batches, B], {k: [n_batches]}
+
+        eval_step = jax.jit(
+            eval_all,
+            in_shardings=(self._repl, self._repl, bshard, bshard,
+                          self._repl),
+            out_shardings=(bshard, self._repl))
+        dev_idxs = put_sharded(idxs, bshard)
+        dev_masks = put_sharded(masks, bshard)
+
+        def run(state: TrainState) -> Tuple[Dict[str, float], np.ndarray]:
+            p, m = eval_step(state.params, state.extra_vars,
+                             dev_idxs, dev_masks, dev_arrays)
+            p, m = jax.device_get((p, m))  # ONE fetch for the whole split
+            m = {k: np.asarray(v, np.float64) for k, v in m.items()}
+            w = m.pop("weight", np.ones(len(starts)))
+            total_w = max(float(w.sum()), 1e-9)
+            means = {k: float((v * w).sum() / total_w) for k, v in m.items()}
+            return means, np.asarray(p).reshape(-1)[:n]
+
+        return run
+
+    def evaluate_resident(self, state: TrainState, ds
+                          ) -> Tuple[Dict[str, float], np.ndarray]:
+        """One-shot :meth:`_make_resident_evaluator` (upload + run)."""
+        return self._make_resident_evaluator(ds)(state)
 
     def _cast_features_host(self, arrays: Dict[str, np.ndarray]
                             ) -> Dict[str, np.ndarray]:
@@ -480,8 +617,9 @@ class Trainer:
             batch = self._cast_features_host(batch)
             batch = put_sharded(batch, self._bshard)
             p, m = self._eval_step(state.params, state.extra_vars, batch)
-            preds.append(np.asarray(jax.device_get(p)))
-            m = {k: float(jax.device_get(v)) for k, v in m.items()}
+            p, m = jax.device_get((p, m))  # one round trip, not 1+len(m)
+            preds.append(np.asarray(p))
+            m = {k: float(v) for k, v in m.items()}
             w = m.pop("weight", 1.0)
             total_w += w
             for k, v in m.items():
