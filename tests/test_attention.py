@@ -131,3 +131,49 @@ def test_attention_attends_to_salient_cell():
     ws = jnp.full((H,), 1.0, jnp.float32)
     _, alpha = spatial_attention_reference(v, qh, wv, ws)
     assert int(np.asarray(alpha).argmax(1)[0]) == 5
+
+
+def test_bwd_kernel_matches_jnp_backward(data):
+    """The fused one-grid-pass Pallas backward (feature_grad=False: the
+    hot path) == the explicit jnp backward on dqh/dwv/dws, for plain and
+    normalized variants, with a loss that drives BOTH cotangents (v_att
+    and alpha). dv is zero by contract on this path."""
+    v, qh, wv, ws = data
+
+    for normalize in (False, True):
+        def loss(v, qh, wv, ws, *, bk):
+            v_att, alpha = spatial_attention(
+                v, qh, wv, ws, normalize=normalize, use_pallas=False,
+                bwd_kernel=bk, feature_grad=not bk, interpret=True)
+            return jnp.sum(v_att ** 2) + jnp.sum(alpha ** 3)
+
+        g_k = jax.grad(lambda *a: loss(*a, bk=True),
+                       argnums=(0, 1, 2, 3))(v, qh, wv, ws)
+        g_j = jax.grad(lambda *a: loss(*a, bk=False),
+                       argnums=(0, 1, 2, 3))(v, qh, wv, ws)
+        assert not np.asarray(g_k[0]).any()  # feature_grad=False contract
+        for gk, gj in zip(g_k[1:], g_j[1:]):
+            np.testing.assert_allclose(np.asarray(gk), np.asarray(gj),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"normalize={normalize}")
+
+
+def test_bwd_kernel_feature_grad_off(data):
+    """feature_grad=False: dv is exactly zero (features are data), every
+    other gradient identical to the feature_grad=True kernel path."""
+    v, qh, wv, ws = data
+
+    def loss(v, qh, wv, ws, *, fg):
+        v_att, alpha = spatial_attention(
+            v, qh, wv, ws, use_pallas=False, bwd_kernel=True,
+            feature_grad=fg, interpret=True)
+        return jnp.sum(v_att ** 2) + jnp.sum(alpha ** 3)
+
+    g_on = jax.grad(lambda *a: loss(*a, fg=True),
+                    argnums=(0, 1, 2, 3))(v, qh, wv, ws)
+    g_off = jax.grad(lambda *a: loss(*a, fg=False),
+                     argnums=(0, 1, 2, 3))(v, qh, wv, ws)
+    assert not np.asarray(g_off[0]).any()
+    for go, gf in zip(g_on[1:], g_off[1:]):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(go),
+                                   rtol=1e-5, atol=1e-6)

@@ -72,5 +72,6 @@ class VQAEnd2EndModel(nn.Module):
             answer_dim=self.answer_dim, dropout=self.dropout,
             dtype=self.dtype, use_pallas=self.use_pallas,
             word_init=self.word_init, answer_init=self.answer_init,
+            feature_grad=not self.freeze_backbone,
             name="head")
         return head(features, q_ids, train=train)

@@ -42,6 +42,10 @@ class VQAAttentionModel(nn.Module):
     normalize_v: bool = True
     glimpses: int = 1  # >1: multi-glimpse variant (XLA attention path)
     rnn_variant: str = "cudnn"  # "tf": TF1-GRUCell-exact (fidelity)
+    # True ONLY when the grid features need a gradient (end2end with an
+    # unfrozen backbone). False (feature-store training, frozen backbone)
+    # lets the attention backward skip the [B, N, C] dv matmul + write.
+    feature_grad: bool = False
     word_init: Optional[np.ndarray] = None  # [vocab, word_dim] GloVe
     answer_init: Optional[np.ndarray] = None  # [answers, answer_dim]
 
@@ -86,13 +90,17 @@ class VQAAttentionModel(nn.Module):
             # Mode-dependent forward dispatch (measured on v5e, batch 256):
             # the Pallas streaming kernel wins forward-only (1.8 vs 2.0 ms)
             # — eval/serving take it; training takes XLA's fused forward.
-            # Either way the backward is the op's explicit bf16 math
-            # (ops/attention.py): autodiff would run the dv/dwv dots in f32
-            # at 1/4 MXU rate (profiled 1.9 ms for dwv alone).
+            # The backward is the explicit bf16 jnp math (autodiff would
+            # run the dv/dwv dots in f32 at 1/4 MXU rate — profiled 1.9 ms
+            # for dwv alone); feature_grad=False (feature-store training,
+            # frozen backbone) skips the two [B, N, C] dv matmuls. The
+            # fused Pallas backward exists but measured slower at this
+            # grid size (A/B in ops/attention._make_fused).
             v_att, alpha = spatial_attention(v, qh, wv, ws,
                                              normalize=self.normalize_v,
                                              use_pallas=(self.use_pallas
-                                                         and not train))
+                                                         and not train),
+                                             feature_grad=self.feature_grad)
 
         # --- fusion (elementwise product of gated projections) ----------
         fq = GatedTanh(self.fusion_dim, dtype=dt, name="fuse_q")(q)

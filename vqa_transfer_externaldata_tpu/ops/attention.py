@@ -90,6 +90,33 @@ def spatial_attention_multi(
     return v_att.reshape(B, G * C), alpha
 
 
+def _reference_postscaled(
+    v: jnp.ndarray,  # [B, N, C] raw grid features
+    qh: jnp.ndarray,  # [B, H]
+    wv: jnp.ndarray,  # [C, H]
+    w_score: jnp.ndarray,  # [H]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalized-attention oracle in the KERNEL's rounding convention:
+    per-cell L2 normalization applied AFTER the score matmul
+    (``(v @ Wv) * r``) and folded into the weighted-sum weights
+    (``sum (alpha r) v``) — exactly how the Pallas forward and backward
+    kernels compute it. Used as the XLA training forward when the Pallas
+    backward is active so both sides agree bit-closely on the relu mask."""
+    dt = v.dtype
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+    r = jax.lax.rsqrt(jnp.sum(jnp.square(v.astype(f32)), axis=-1) + 1e-12)
+    h = jnp.einsum("bnc,ch->bnh", v, wv.astype(dt),
+                   preferred_element_type=f32, precision=hi)
+    h = jax.nn.relu(h * r[:, :, None] + qh[:, None, :].astype(f32))
+    score = jnp.einsum("bnh,h->bn", h.astype(dt), w_score.astype(dt),
+                       preferred_element_type=f32, precision=hi)
+    alpha = jax.nn.softmax(score, axis=1)
+    v_att = jnp.einsum("bn,bnc->bc", (alpha * r).astype(dt), v,
+                       preferred_element_type=f32, precision=hi)
+    return v_att, alpha
+
+
 # ---------------------------------------------------------------------------
 # Pallas streaming kernel
 # ---------------------------------------------------------------------------
@@ -237,8 +264,176 @@ def _attention_pallas_fwd(v, qh, wv, ws, *, interpret: bool,
     return vatt[:B], alpha[:B, :N]
 
 
+def _make_bwd_kernel(tb: int, nb: int, hb: int, normalize: bool):
+    """Fused backward: dqh/dwv/dws computed in-VMEM per (batch tile,
+    N chunk). The jnp backward (_attention_bwd_math) reads the grid 3-4
+    times (dalpha dot, hidden recompute, dwv) and materializes [B, N, H]
+    intermediates in HBM; here the v tile is fetched ONCE and all three
+    parameter cotangents accumulate on-chip.
+
+    Accumulation discipline: grid is (hc, i, j) with the H-chunk axis
+    OUTERMOST, so every output block's index is constant across the grid
+    steps that accumulate into it (dwv/dws over the full inner (i, j)
+    sweep for each hc; dqh over the inner j sweep) — Mosaic only
+    guarantees read-modify-write output semantics for consecutive visits
+    to the same block (measured: an (i, j, hc) grid with hc innermost
+    compiles but silently drops accumulated updates on block revisits —
+    15% error on dqh). The price is that v is re-fetched once per H
+    chunk (2x HBM traffic at hb=256); full-H blocks would read v once
+    but the [C, H] f32 dwv output block alone is 4 MB and Mosaic
+    double-buffers ALL blocks, blowing the 16 MB VMEM budget (measured
+    21.8 MB).
+
+    VMEM discipline: nothing [TB, NB, C]-shaped is ever materialized as
+    a temporary. The softmax-Jacobian term ``ds`` and the per-cell norm
+    ``r`` arrive as INPUTS — ``ds`` needs ``g . v_hat`` (an extra
+    bandwidth-bound pass over the grid that XLA runs outside, ~0.1 ms vs
+    the ~10 MB of VMEM an in-kernel product would cost), and ``r`` is a
+    residual of the forward (CSEd against the primal's own
+    normalization). Within a block, H is processed in 128-wide static
+    sub-slices so temporaries stay [TB, NB, 128]-sized (~0.5 MB, reused
+    across the sub-loop — disjoint lifetimes).
+
+    dv (the grid-feature cotangent) is deliberately NOT computed here: the
+    feature-store models and the frozen end2end backbone need no feature
+    gradient (feature_grad=False skips it entirely); the rare unfrozen
+    path takes the jnp backward."""
+    del hb  # block width comes from the refs; sub-slicing is fixed at 128
+
+    def kernel(v_ref, qh_ref, wv_ref, ws_ref, ds_ref, r_ref,
+               dqh_ref, dwv_ref, dws_ref):
+        i, j = pl.program_id(1), pl.program_id(2)
+        f32 = jnp.float32
+
+        @pl.when((i == 0) & (j == 0))
+        def _():
+            dwv_ref[:] = jnp.zeros_like(dwv_ref)
+            dws_ref[:] = jnp.zeros_like(dws_ref)
+
+        @pl.when(j == 0)
+        def _():
+            dqh_ref[:] = jnp.zeros_like(dqh_ref)
+
+        v = v_ref[:]  # [TB, NB, C]
+        dt = v.dtype
+        C = v.shape[-1]
+        Hb = wv_ref.shape[-1]  # this H chunk's width
+        sub = min(128, Hb)
+        v2 = v.reshape(tb * nb, C)
+        r = r_ref[:] if normalize else None  # [TB, NB] f32 (fwd residual)
+        ds = ds_ref[:]  # [TB, NB] f32
+
+        for k in range(0, Hb, sub):
+            # Hidden recompute for this H sub-slice (the matmul the
+            # backward cannot avoid). Static lane-aligned slices
+            # (k % 128 == 0).
+            z = jnp.dot(v2, wv_ref[:, k:k + sub],
+                        preferred_element_type=f32).reshape(tb, nb, sub)
+            if normalize:
+                z = z * r[:, :, None]
+            z = z + qh_ref[:, k:k + sub].astype(f32)[:, None, :]
+            h = jnp.maximum(z, 0.0)
+            ws_row = ws_ref[:1, k:k + sub].astype(f32)  # [1, sub]
+            dz = jnp.where(z > 0.0,
+                           ds[:, :, None] * ws_row[None, :, :], 0.0)
+
+            dws_ref[:, k:k + sub] += jnp.broadcast_to(
+                jnp.sum(ds[:, :, None] * h, axis=(0, 1))[None, :],
+                (dws_ref.shape[0], sub))
+            dqh_ref[:, k:k + sub] += jnp.sum(dz, axis=1)
+
+            dz_r = dz * r[:, :, None] if normalize else dz
+            dz_c = dz_r.astype(dt)
+            # dwv += v^T (r dz): contract the row dim of both matrices.
+            dwv_ref[:, k:k + sub] += jax.lax.dot_general(
+                v2, dz_c.reshape(tb * nb, sub),
+                (((0,), (0,)), ((), ())), preferred_element_type=f32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b",
+                                             "block_n", "block_h",
+                                             "normalize"))
+def _attention_pallas_bwd(v, qh, wv, ws, ds, r, *,
+                          interpret: bool, block_b: int = 8,
+                          block_n: int = 128, block_h: int = 128,
+                          normalize: bool = False):
+    """Launch the fused backward. ``ds`` is the score cotangent
+    alpha * (dalpha - S) computed outside in XLA (one bandwidth-bound
+    pass over the grid); ``r`` is the per-cell rsqrt-norm residual from
+    the forward ([B, N] f32; any array when ``normalize=False`` —
+    unused). Returns (dqh, dwv, dws)."""
+    B, N, C = v.shape
+    H = qh.shape[-1]
+    tb, nb = block_b, block_n
+    hb = min(block_h, H)
+    Bp, Np = _round_up(B, tb), _round_up(N, nb)
+    pad2 = lambda x: x if x.shape == (Bp, Np) else jnp.pad(
+        x, ((0, Bp - B), (0, Np - N)))
+    vp = v if (Bp, Np) == (B, N) else jnp.pad(
+        v, ((0, Bp - B), (0, Np - N), (0, 0)))
+    qhp = qh if Bp == B else jnp.pad(qh, ((0, Bp - B), (0, 0)))
+    # Padded cells/rows contribute nothing: their ds entries are zero
+    # (alpha is zero there).
+    dsp = pad2(ds.astype(jnp.float32))
+    rp = pad2(r.astype(jnp.float32))
+
+    Hp = _round_up(H, hb)
+    wv_c = wv.astype(v.dtype)
+    if Hp != H:
+        wv_c = jnp.pad(wv_c, ((0, 0), (0, Hp - H)))
+        qhp = jnp.pad(qhp, ((0, 0), (0, Hp - H)))
+    ws_rows = jnp.broadcast_to(ws.astype(v.dtype)[None, :], (8, H))
+    if Hp != H:  # padded ws columns are zero -> dz there is zero
+        ws_rows = jnp.pad(ws_rows, ((0, 0), (0, Hp - H)))
+
+    out_specs = [
+        pl.BlockSpec((tb, hb), lambda hc, i, j: (i, hc),
+                     memory_space=pltpu.VMEM),  # dqh
+        pl.BlockSpec((C, hb), lambda hc, i, j: (0, hc),
+                     memory_space=pltpu.VMEM),  # dwv
+        pl.BlockSpec((8, hb), lambda hc, i, j: (0, hc),
+                     memory_space=pltpu.VMEM),  # dws
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Bp, Hp), jnp.float32),
+        jax.ShapeDtypeStruct((C, Hp), jnp.float32),
+        jax.ShapeDtypeStruct((8, Hp), jnp.float32),
+    ]
+    flops = 2 * Bp * Np * C * Hp * 2
+    outs = pl.pallas_call(
+        _make_bwd_kernel(tb, nb, hb, normalize),
+        grid=(Hp // hb, Bp // tb, Np // nb),
+        in_specs=[
+            pl.BlockSpec((tb, nb, C), lambda hc, i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, hb), lambda hc, i, j: (i, hc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hb), lambda hc, i, j: (0, hc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, hb), lambda hc, i, j: (0, hc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, nb), lambda hc, i, j: (i, j),
+                         memory_space=pltpu.VMEM),  # ds
+            pl.BlockSpec((tb, nb), lambda hc, i, j: (i, j),
+                         memory_space=pltpu.VMEM),  # r
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=vp.size * vp.dtype.itemsize * (Hp // hb),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(vp, qhp, wv_c, ws_rows, dsp, rp)
+    return outs[0][:B, :H], outs[1][:, :H], outs[2][0, :H]
+
+
 def _attention_bwd_math(v, qh, wv, ws, alpha, vatt, g, ga,
-                        normalize: bool = False):
+                        normalize: bool = False,
+                        feature_grad: bool = True):
     """Explicit backward from saved residuals (alpha, vatt).
 
     Only the score-MLP hidden ``h`` is recomputed (one matmul); the softmax
@@ -265,9 +460,16 @@ def _attention_bwd_math(v, qh, wv, ws, alpha, vatt, g, ga,
                     preferred_element_type=f32, precision=hi)
          + jnp.sum(alpha * ga, axis=1))
     ds = alpha * (dalpha - S[:, None])  # [B, N]
-    # Recompute hidden activations (one MXU matmul).
-    z = jnp.einsum("bnc,ch->bnh", v, wv.astype(dt),
-                   preferred_element_type=f32, precision=hi)
+    # Recompute hidden activations (one MXU matmul). Scale-after-matmul
+    # when normalizing — the convention every forward path uses
+    # (_reference_postscaled / Pallas) — so the relu mask below matches
+    # the primal's bit-for-bit away from reassociation noise.
+    if normalize:
+        z = jnp.einsum("bnc,ch->bnh", v_raw, wv.astype(dt),
+                       preferred_element_type=f32, precision=hi) * r
+    else:
+        z = jnp.einsum("bnc,ch->bnh", v, wv.astype(dt),
+                       preferred_element_type=f32, precision=hi)
     z = z + qh[:, None, :].astype(f32)
     h = jnp.maximum(z, 0.0)
     relu_mask = (z > 0.0).astype(f32)
@@ -280,6 +482,12 @@ def _attention_bwd_math(v, qh, wv, ws, alpha, vatt, g, ga,
     dqh = jnp.sum(dz_c, axis=1, dtype=f32).astype(qh.dtype)
     dwv = jnp.einsum("bnc,bnh->ch", v, dz_c, preferred_element_type=f32,
                      precision=hi)
+    if not feature_grad:
+        # Grid features are data (feature store) or frozen (end2end with
+        # a stop_gradient backbone): skip the two [B, N, C]-sized dv
+        # matmuls explicitly instead of trusting XLA DCE.
+        return (jnp.zeros_like(v_raw), dqh, dwv.astype(wv.dtype),
+                dws.astype(ws.dtype))
     dv = (alpha[:, :, None] * g[:, None, :]) + jnp.einsum(
         "bnh,ch->bnc", dz_c, wv.astype(dt), preferred_element_type=f32,
         precision=hi)
@@ -295,12 +503,19 @@ def _attention_bwd_math(v, qh, wv, ws, alpha, vatt, g, ga,
 
 @functools.lru_cache(maxsize=None)
 def _make_fused(interpret: bool, block_b: int, block_n: int,
-                normalize: bool, kernel: bool):
+                normalize: bool, kernel: bool, bwd_kernel: bool,
+                feature_grad: bool):
     """custom_vjp-wrapped attention. ``kernel`` picks the forward (Pallas
-    streaming kernel vs XLA-fused oracle); the backward is always the
-    explicit residual-based math — XLA autodiff would run the two big
+    streaming kernel vs XLA-fused oracle); ``bwd_kernel`` picks the
+    backward (fused one-grid-pass Pallas kernel vs explicit jnp math).
+    Either backward beats XLA autodiff, which would run the two big
     backward dots (dv, dwv) in f32 because the cotangents are f32, at 1/4
-    the MXU's bf16 rate (profiled: 1.9 ms for dwv alone at B=256)."""
+    the MXU's bf16 rate (profiled: 1.9 ms for dwv alone at B=256).
+
+    ``feature_grad=False`` (valid ONLY when the grid features are data or
+    sit behind stop_gradient — the precomputed-feature models, the frozen
+    end2end backbone) skips the [B, N, C] dv matmul + write entirely and
+    returns a zero cotangent for v."""
 
     @jax.custom_vjp
     def fused(v, qh, wv, ws):
@@ -310,20 +525,69 @@ def _make_fused(interpret: bool, block_b: int, block_n: int,
                                         normalize=normalize)
             return tuple(out)
         if normalize:
-            from vqa_transfer_externaldata_tpu.ops.layers import l2_normalize
-
-            return spatial_attention_reference(l2_normalize(v), qh, wv, ws)
+            # Scale-AFTER-matmul, matching the Pallas kernels (forward and
+            # backward): h = (v @ Wv) * r, v_att = sum (alpha r) v.
+            # Mathematically identical to l2_normalize(v) @ Wv but rounds
+            # identically to the kernels, so the relu mask in the kernel
+            # backward agrees with this primal at z ~ 0 (mask flips from
+            # convention mismatch showed up as ~0.1% scattered dqh error);
+            # also cheaper: the scale touches [B, N, H], not [B, N, C].
+            return _reference_postscaled(v, qh, wv, ws)
         return spatial_attention_reference(v, qh, wv, ws)
 
     def fwd(v, qh, wv, ws):
         vatt, alpha = fused(v, qh, wv, ws)
-        return (vatt, alpha), (v, qh, wv, ws, alpha, vatt)
+        r = None
+        if bwd_kernel and not feature_grad and normalize:
+            # Per-cell rsqrt norm, saved for the backward kernel ([B, N]
+            # f32, 4 bytes/cell). On the XLA training forward this fuses
+            # with (CSEs against) the primal's own normalization pass, so
+            # it costs no extra HBM traffic; recomputing it inside the
+            # backward kernel would blow the VMEM stack (a [TB, NB, C]
+            # f32 square temp).
+            r = jax.lax.rsqrt(
+                jnp.sum(jnp.square(v.astype(jnp.float32)), axis=-1)
+                + 1e-12)
+        return (vatt, alpha), (v, qh, wv, ws, alpha, vatt, r)
 
     def bwd(residuals, cotangents):
-        v, qh, wv, ws, alpha, vatt = residuals
+        v, qh, wv, ws, alpha, vatt, r = residuals
         g, ga = cotangents
-        return _attention_bwd_math(v, qh, wv, ws, alpha, vatt, g, ga,
-                                   normalize=normalize)
+        if not bwd_kernel or feature_grad:
+            # Default path. The Pallas backward below is kept as a
+            # measured-and-rejected option: in the real train step it is
+            # ~2 ms/step SLOWER than this explicit jnp backward (A/B at
+            # batch 256 on v5e: 10.40 vs 8.41 ms/step), because it
+            # re-fetches the v grid once per 128-wide H chunk while XLA
+            # fuses the backward dots over fewer grid reads.
+            return _attention_bwd_math(v, qh, wv, ws, alpha, vatt, g, ga,
+                                       normalize=normalize,
+                                       feature_grad=feature_grad)
+        f32 = jnp.float32
+        # Score cotangent in XLA (ONE bandwidth-bound pass over the
+        # grid — the batched matvec g . v): dalpha_n = g . v_hat_n + ga_n;
+        # S_b = g_b . vatt_b + sum_n alpha_bn ga_bn (residuals only,
+        # exploiting sum_n alpha_n (g . v_n) = g . vatt);
+        # ds = alpha * (dalpha - S).
+        ga_f = ga.astype(f32)
+        alpha_f = alpha.astype(f32)
+        dalpha = jnp.einsum("bc,bnc->bn", g.astype(v.dtype), v,
+                            preferred_element_type=f32)
+        if r is not None:
+            dalpha = dalpha * r
+        dalpha = dalpha + ga_f
+        s = (jnp.einsum("bc,bc->b", g.astype(f32), vatt.astype(f32),
+                        preferred_element_type=f32)
+             + jnp.sum(alpha_f * ga_f, axis=1))
+        ds = alpha_f * (dalpha - s[:, None])
+        if r is None:  # normalize=False: kernel never reads it
+            r = jnp.ones(alpha.shape, f32)
+        dqh, dwv, dws = _attention_pallas_bwd(
+            v, qh, wv, ws, ds, r,
+            interpret=interpret, block_b=block_b, block_n=block_n,
+            normalize=normalize)
+        return (jnp.zeros_like(v), dqh.astype(qh.dtype),
+                dwv.astype(wv.dtype), dws.astype(ws.dtype))
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -338,6 +602,8 @@ def spatial_attention(
     normalize: bool = False,
     use_pallas: bool = True,
     custom_grad: bool = True,
+    bwd_kernel: bool | None = None,
+    feature_grad: bool = True,
     interpret: bool | None = None,
     block_b: int = 8,
     block_n: int | None = None,
@@ -346,8 +612,12 @@ def spatial_attention(
     normalization of ``v`` into the op (in-VMEM on the Pallas path).
     ``use_pallas`` picks the forward implementation; the explicit bf16
     backward applies to both unless ``custom_grad=False`` (pure autodiff,
-    kept for gradient cross-checks). ``interpret=None`` auto-selects
-    interpreter mode off-TPU so tests exercise the kernel path on CPU."""
+    kept for gradient cross-checks). ``bwd_kernel`` (default: follow
+    ``use_pallas``) selects the fused one-grid-pass Pallas backward;
+    ``feature_grad=False`` skips the dv computation for callers whose grid
+    features need no gradient (data / frozen backbone) — ONLY safe then.
+    ``interpret=None`` auto-selects interpreter mode off-TPU so tests
+    exercise the kernel path on CPU."""
     if not custom_grad and not use_pallas:
         if normalize:
             from vqa_transfer_externaldata_tpu.ops.layers import l2_normalize
@@ -359,5 +629,12 @@ def spatial_attention(
     if block_n is None:
         # Lane alignment: alpha chunk writes require nb % 128 == 0.
         block_n = 128
+    if bwd_kernel is None:
+        # Default OFF: the explicit jnp backward measured faster in the
+        # real train step (see _make_fused.bwd); the kernel remains
+        # available for shapes where one-pass grid reads win (e.g. much
+        # larger N grids).
+        bwd_kernel = False
     return _make_fused(interpret, block_b, block_n, normalize,
-                       use_pallas)(v, qh, wv, w_score)
+                       use_pallas, bwd_kernel,
+                       feature_grad)(v, qh, wv, w_score)
