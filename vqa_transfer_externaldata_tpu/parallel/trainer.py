@@ -346,48 +346,45 @@ class Trainer:
         data, make_batch, nbytes = self._prepare_resident(ds)
         log.info("device-resident dataset: %d rows%s, %.2f GB uploaded once",
                  ds.size,
-                 f" + {data['grid'].shape[0]}-row feature store"
-                 if "grid" in data else "", nbytes / 1e9)
+                 f" + {data['grid0'].shape[0]}-row feature store"
+                 if "grid0" in data else "", nbytes / 1e9)
         dev_arrays = put_sharded(data, self._repl)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        idx_shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
         raw_step = self._raw_step_fn
 
         # The dataset is a jit ARGUMENT, not a closure capture — captured
         # arrays get embedded as HLO constants and shipped to the compiler
         # (the remote compile service rejects the GB-sized request).
-        def step_idx(state, idx, data):
-            return raw_step(state, make_batch(idx, data))
-
+        #
+        # ZERO per-call host traffic: the seeded index table is staged to
+        # the device in [seg_steps, B] segments (one ~2 MB upload per
+        # segment), each call slices its k rows out of the resident
+        # segment at a device-resident offset scalar that the program
+        # itself advances and returns. Profiled without this: every
+        # per-call device_put of the [k, B] indices cost a blocking ~35 ms
+        # relay round trip — 2.9 ms/step of host gap on top of a 5.5 ms
+        # device step at k=8.
         donate = (0,) if t.donate_state else ()
         k = max(1, t.steps_per_call)
-        if k > 1:
-            # k steps fused into one device program (lax.scan over [k, B]
-            # index rows): ONE index upload + ONE dispatch per k steps.
-            # On a high-latency host link (~35 ms/round trip here) this
-            # amortizes the per-dispatch overhead k-fold; per-step host
-            # traffic stays at B int32s.
-            kidx_shard = NamedSharding(
-                self.mesh, P(None, self.mesh.axis_names[0]))
+        kidx_shard = NamedSharding(
+            self.mesh, P(None, self.mesh.axis_names[0]))
 
-            def step_scan(state, idxs, data):
-                def body(st, idx):
-                    return raw_step(st, make_batch(idx, data))
+        def step_scan(state, seg, off, data):
+            idxs = jax.lax.dynamic_slice_in_dim(seg, off, k)
 
-                state, ms = jax.lax.scan(body, state, idxs)
-                return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+            def body(st, idx):
+                return raw_step(st, make_batch(idx, data))
 
-            step = jax.jit(step_scan,
-                           in_shardings=(self._repl, kidx_shard,
-                                         self._repl),
-                           out_shardings=(self._repl, self._repl),
-                           donate_argnums=donate)
-        else:
-            step = jax.jit(step_idx,
-                           in_shardings=(self._repl, idx_shard, self._repl),
-                           out_shardings=(self._repl, self._repl),
-                           donate_argnums=donate)
+            state, ms = jax.lax.scan(body, state, idxs)
+            return (state, jax.tree_util.tree_map(lambda x: x[-1], ms),
+                    off + k)
+
+        step = jax.jit(step_scan,
+                       in_shardings=(self._repl, kidx_shard, self._repl,
+                                     self._repl),
+                       out_shardings=(self._repl, self._repl, self._repl),
+                       donate_argnums=donate)
 
         # In-loop eval: a resident evaluator (val split stays in HBM too)
         # when a dataset is given; host-streamed batches otherwise. Built
@@ -411,27 +408,52 @@ class Trainer:
         # process (same seed); each process contributes its contiguous
         # local rows of the globally data-sharded index vector.
         pi, pc = jax.process_index(), jax.process_count()
+        profile_until = (t.profile_start + t.profile_steps
+                         if t.profile_steps else -1)
+        profiling = False
+        seg_steps = max(k, (2048 // k) * k)  # index segment: ~2 MB
+        seg_dev = None
+        seg_off = seg_steps  # force initial staging
+        off_dev = None
         while stepno < max_steps:
-            if k > 1:
-                group = [next(indices)
-                         for _ in range(min(k, max_steps - stepno))]
-                while len(group) < k:  # static shapes for the last call
-                    group.append(group[-1])
-                idx = np.stack(group)
+            if seg_off >= seg_steps:
+                # Stage the next index-table segment (ONE host->device
+                # transfer per seg_steps steps).
+                todo = max_steps - stepno
+                n_rows = min(seg_steps, ((todo + k - 1) // k) * k)
+                rows = [next(indices) for _ in range(min(n_rows, todo))]
+                while len(rows) < n_rows:  # static shapes for the tail
+                    rows.append(rows[-1])
+                seg = np.stack(rows)  # [S, B]
                 if pc > 1:
-                    local = idx.shape[1] // pc
-                    idx = idx[:, pi * local:(pi + 1) * local]
-                idx = put_sharded(idx, kidx_shard)
-                state, pending = step(state, idx, dev_arrays)
-                stepno += k
-            else:
-                idx = next(indices)
-                if pc > 1:
-                    local = idx.shape[0] // pc
-                    idx = idx[pi * local:(pi + 1) * local]
-                idx = put_sharded(idx, idx_shard)
-                state, pending = step(state, idx, dev_arrays)
-                stepno += 1
+                    local = seg.shape[1] // pc
+                    seg = seg[:, pi * local:(pi + 1) * local]
+                if seg.shape[0] < seg_steps:  # tail segment, same shape
+                    pad = np.broadcast_to(
+                        seg[-1:], (seg_steps - seg.shape[0],) + seg.shape[1:])
+                    seg = np.concatenate([seg, pad], axis=0)
+                seg_dev = put_sharded(seg.astype(np.int32), kidx_shard)
+                off_dev = put_sharded(np.zeros((), np.int32), self._repl)
+                seg_off = 0
+            if (t.profile_steps and not profiling
+                    and stepno >= t.profile_start and stepno < profile_until):
+                jax.profiler.start_trace(
+                    os.path.join(self.train_dir, "profile"))
+                profiling = True
+                log.info("profiler trace started (steps %d..%d)",
+                         stepno, profile_until)
+            state, pending, off_dev = step(state, seg_dev, off_dev,
+                                           dev_arrays)
+            seg_off += k
+            stepno += k
+            if profiling and stepno >= profile_until:
+                # device_get (not block_until_ready: broken under the
+                # axon relay) forces completion before the trace closes.
+                jax.device_get(pending)
+                jax.profiler.stop_trace()
+                profiling = False
+                log.info("profiler trace written to %s/profile",
+                         self.train_dir)
             if stepno % t.log_every < k or stepno >= max_steps:
                 # ONE combined fetch (each get = one ~35 ms relay trip).
                 m = {key: float(v)
@@ -494,8 +516,24 @@ class Trainer:
                 if dtype_of(self.cfg.model.dtype) == jnp.bfloat16:
                     store["features"] = store["features"].astype(
                         ml_dtypes.bfloat16)
-            data["grid"] = store["features"]
+            # The grid uploads PRE-SPLIT into <=1024-channel planes: XLA's
+            # TPU gather lowering wants [M, N, <=1024] operands, and fed
+            # the full [M, N, 2048] store it re-splits the WHOLE store
+            # into halves inside the scan body — 822 MB of loop-invariant
+            # HBM traffic per step, 1.25 ms of a 5.5 ms step (profiled:
+            # trace fusion.508). Splitting host-side removes the in-loop
+            # split; the per-plane gathers feed consumers directly (the
+            # re-concat fuses away).
+            grid_c = store["features"]
+            C2 = grid_c.shape[-1]
+            n_planes = max(1, (C2 + 1023) // 1024)
+            width = (C2 + n_planes - 1) // n_planes
+            for p in range(n_planes):
+                data[f"grid{p}"] = np.ascontiguousarray(
+                    grid_c[..., p * width:(p + 1) * width])
             data["pool5"] = store["pool5"]
+        else:
+            n_planes = 0
 
         def make_batch(idx, data):
             batch = {k: jnp.take(v, idx, axis=0)
@@ -503,9 +541,14 @@ class Trainer:
             if joined:  # second-level gather: store rows by image/region
                 rows = batch[index_key]
                 for key in feature_keys:
-                    src = "pool5" if key in ("feature", "pool5") else "grid"
-                    name = "features" if src == "grid" else key
-                    batch[name] = jnp.take(data[src], rows, axis=0)
+                    if key in ("feature", "pool5"):
+                        batch[key] = jnp.take(data["pool5"], rows, axis=0)
+                    else:
+                        parts = [jnp.take(data[f"grid{p}"], rows, axis=0)
+                                 for p in range(n_planes)]
+                        batch["features"] = (
+                            parts[0] if n_planes == 1
+                            else jnp.concatenate(parts, axis=-1))
             return batch
 
         nbytes = sum(v.nbytes for part in data.values()
