@@ -60,10 +60,11 @@ def main() -> None:
         "train.checkpoint_every": 10**9,
         "train.eval_every": 10**9,
         "train.device_data_cache": True,
-        # 8 steps per dispatch: amortizes the host link's ~35 ms round
-        # trip (this box's relay) the way a production config on such a
-        # host would; per-step host traffic stays at [batch] int32.
-        "train.steps_per_call": 8,
+        # 32 steps per dispatch: with the resident index-table segments
+        # there is no per-call host traffic, so the only per-call cost is
+        # the relay's blocking dispatch (~20 ms) — swept 8/16/32 on v5e:
+        # 7.41/7.41/6.34 ms/step.
+        "train.steps_per_call": 32,
     }
     if not on_tpu:  # CPU smoke: shrink so the bench still runs anywhere
         overrides.update({
