@@ -359,3 +359,68 @@ def test_resident_steps_per_call_matches_single(tiny_config, tmp_path,
             jax.tree_util.tree_leaves_with_path(jax.device_get(sb.params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6, err_msg=str(p))
+
+
+def test_resident_multi_segment_matches_single_segment(tiny_config, tmp_path,
+                                                       eight_cpu_devices):
+    """fit_resident re-stages its index table when a segment is exhausted;
+    a tiny segment (re-staged every 4 steps) must produce the same params
+    as one big segment — same seeded index sequence either way."""
+    cfg = tiny_config.replace_flat({"model.model": "vqa_baseline",
+                                    "model.dropout": 0.0,
+                                    "model.dtype": "float32",
+                                    "train.steps_per_call": 2})
+    spec = build_model(cfg)
+    ds = load_dataset(cfg, "train", stage=spec.stage)
+
+    tr_a = Trainer(cfg, spec, train_dir=str(tmp_path / "big"))
+    sa = tr_a.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    sa = tr_a.fit_resident(ds, sa, max_steps=12)
+    tr_a.close()
+
+    tr_b = Trainer(cfg, spec, train_dir=str(tmp_path / "small"))
+    tr_b.resident_segment_steps = 4  # three re-stagings over 12 steps
+    sb = tr_b.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    sb = tr_b.fit_resident(ds, sb, max_steps=12)
+    tr_b.close()
+
+    assert int(jax.device_get(sb.step)) == 12
+    for (p, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(jax.device_get(sa.params)),
+            jax.tree_util.tree_leaves_with_path(jax.device_get(sb.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(p))
+
+
+def test_tensor_parallel_tables_match_data_parallel(tiny_config, tmp_path,
+                                                    eight_cpu_devices):
+    """mesh.shard_params: answer/word tables sharded row-wise over a
+    2-way model axis (XLA inserts the cross-shard softmax collectives
+    from sharding propagation) must train to the SAME params as the pure
+    data-parallel 8x1 mesh."""
+    base = tiny_config.replace_flat({"model.model": "vqa_attention",
+                                     "model.dropout": 0.0,
+                                     "model.dtype": "float32"})
+
+    def run(extra, d):
+        cfg = base.replace_flat(extra)
+        spec = build_model(cfg)
+        ds = load_dataset(cfg, "train", stage=spec.stage)
+        tr = Trainer(cfg, spec, train_dir=str(tmp_path / d))
+        s = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+        s = tr.fit(ds.batches(cfg.train.batch_size, epochs=100, seed=1), s,
+                   max_steps=4)
+        tr.close()
+        return jax.device_get(s.params)
+
+    p_dp = run({}, "dp")
+    p_tp = run({"mesh.num_model": 2,
+                "mesh.shard_params": "answer_embedding,word_emb"}, "tp")
+    # Cross-shard psum reduction order shifts low-order bits; adamw's
+    # rsqrt amplifies them slightly over 4 steps.
+    for (k, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_dp),
+            jax.tree_util.tree_leaves_with_path(p_tp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-4,
+                                   err_msg=jax.tree_util.keystr(k))

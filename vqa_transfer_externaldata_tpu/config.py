@@ -149,6 +149,13 @@ class MeshConfig:
     model_axis: str = "model"
     num_data: int = -1  # -1: all visible devices on the data axis
     num_model: int = 1
+    # Comma-separated param-path substrings to shard row-wise (dim 0) over
+    # the model axis — tensor parallelism for the big embedding/classifier
+    # tables (e.g. "answer_embedding,word_emb"). A matching table whose
+    # row count is not divisible by num_model stays replicated. XLA
+    # inserts the cross-shard collectives (the softmax over a
+    # model-sharded logits dim) from sharding propagation.
+    shard_params: str = ""
 
 
 @dataclass

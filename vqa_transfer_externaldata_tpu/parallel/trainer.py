@@ -91,6 +91,10 @@ def make_optimizer(cfg: Config) -> Tuple[optax.GradientTransformation,
 class Trainer:
     """Build once, then ``fit`` / ``evaluate`` / ``restore``."""
 
+    # fit_resident stages its seeded index table in segments of this many
+    # steps (~2 MB each); shrink in tests to exercise re-staging.
+    resident_segment_steps = 2048
+
     def __init__(self, cfg: Config, spec: ModelSpec,
                  mesh: Optional[jax.sharding.Mesh] = None,
                  train_dir: Optional[str] = None) -> None:
@@ -114,8 +118,43 @@ class Trainer:
 
         self._bstack_shard = NamedSharding(
             self.mesh, P(None, self.mesh.axis_names[0]))
+        self._shard_rules = tuple(
+            s.strip() for s in cfg.mesh.shard_params.split(",") if s.strip())
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+
+    def _tree_shardings(self, tree: Any) -> Any:
+        """Per-leaf placements for a params-like tree: leaves whose tree
+        path matches a ``mesh.shard_params`` rule are sharded row-wise over
+        the model axis (tensor parallelism for the embedding/classifier
+        tables); everything else replicates. With no rules this is the
+        single replicated sharding (the round-1 behavior, zero overhead).
+        Works on any tree whose paths embed the param names — the optax
+        state's mu/nu mirrors match the same rules."""
+        if not self._shard_rules:
+            return self._repl
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        maxis = self.mesh.axis_names[1]
+        msize = self.mesh.shape[maxis]
+        row_shard = NamedSharding(self.mesh, P(maxis))
+
+        def leaf(path, x):
+            p = jax.tree_util.keystr(path)
+            if (any(r in p for r in self._shard_rules)
+                    and getattr(x, "ndim", 0) >= 1
+                    and x.shape[0] >= msize and x.shape[0] % msize == 0):
+                return row_shard
+            return self._repl
+
+        return jax.tree_util.tree_map_with_path(leaf, tree)
+
+    def _state_in_spec(self) -> Any:
+        """jit in/out sharding entry for a TrainState argument: the pinned
+        replicated sharding normally; ``None`` (infer from the committed
+        input, which init_state placed per _tree_shardings) when tensor-
+        parallel param sharding is active."""
+        return None if self._shard_rules else self._repl
 
     # -- state ---------------------------------------------------------------
 
@@ -134,21 +173,29 @@ class Trainer:
             return variables.pop("params"), variables
 
         if params is None:
-            params, fresh_extra = jax.jit(init_fn,
-                                          out_shardings=self._repl)()
+            if self._shard_rules:
+                p_shapes, _ = jax.eval_shape(init_fn)
+                out_sh = (self._tree_shardings(p_shapes), self._repl)
+            else:
+                out_sh = self._repl
+            params, fresh_extra = jax.jit(init_fn, out_shardings=out_sh)()
         else:
             fresh_extra = None
             if extra_vars is None:
                 _, fresh_extra = jax.jit(init_fn,
                                          out_shardings=self._repl)()
-            params = put_sharded(params, self._repl)
+            params = (jax.device_put(params, self._tree_shardings(params))
+                      if self._shard_rules
+                      else put_sharded(params, self._repl))
         extra_vars = (put_sharded(extra_vars, self._repl)
                       if extra_vars is not None else fresh_extra)
 
         def opt_init(p):
             return self.tx.init(p)
 
-        opt_state = jax.jit(opt_init, out_shardings=self._repl)(params)
+        opt_out_sh = (self._tree_shardings(jax.eval_shape(opt_init, params))
+                      if self._shard_rules else self._repl)
+        opt_state = jax.jit(opt_init, out_shardings=opt_out_sh)(params)
         return TrainState(
             step=jax.device_put(jnp.zeros((), jnp.int32), self._repl),
             params=params, opt_state=opt_state,
@@ -219,13 +266,13 @@ class Trainer:
 
             return jax.jit(
                 multi_step_fn,
-                in_shardings=(self._repl, self._bstack_shard),
-                out_shardings=(self._repl, self._repl),
+                in_shardings=(self._state_in_spec(), self._bstack_shard),
+                out_shardings=(self._state_in_spec(), self._repl),
                 donate_argnums=donate)
         return jax.jit(
             step_fn,
-            in_shardings=(self._repl, self._bshard),
-            out_shardings=(self._repl, self._repl),
+            in_shardings=(self._state_in_spec(), self._bshard),
+            out_shardings=(self._state_in_spec(), self._repl),
             donate_argnums=donate)
 
     def _build_eval_step(self) -> Callable:
@@ -238,9 +285,10 @@ class Trainer:
             preds = jnp.argmax(outputs["logits"].astype(jnp.float32), -1)
             return preds, metrics
 
-        return jax.jit(eval_fn,
-                       in_shardings=(self._repl, self._repl, self._bshard),
-                       out_shardings=(self._bshard, self._repl))
+        return jax.jit(
+            eval_fn,
+            in_shardings=(self._state_in_spec(), self._repl, self._bshard),
+            out_shardings=(self._bshard, self._repl))
 
     # -- loops -----------------------------------------------------------------
 
@@ -381,9 +429,11 @@ class Trainer:
                     off + k)
 
         step = jax.jit(step_scan,
-                       in_shardings=(self._repl, kidx_shard, self._repl,
+                       in_shardings=(self._state_in_spec(), kidx_shard,
+                                     self._repl,
                                      self._repl),
-                       out_shardings=(self._repl, self._repl, self._repl),
+                       out_shardings=(self._state_in_spec(), self._repl,
+                                      self._repl),
                        donate_argnums=donate)
 
         # In-loop eval: a resident evaluator (val split stays in HBM too)
@@ -411,7 +461,10 @@ class Trainer:
         profile_until = (t.profile_start + t.profile_steps
                          if t.profile_steps else -1)
         profiling = False
-        seg_steps = max(k, (2048 // k) * k)  # index segment: ~2 MB
+        # Index-table segment length (steps): ~2 MB per upload by default;
+        # a class attribute so tests can shrink it to exercise the
+        # multi-segment path.
+        seg_steps = max(k, (self.resident_segment_steps // k) * k)
         seg_dev = None
         seg_off = seg_steps  # force initial staging
         off_dev = None
@@ -602,7 +655,7 @@ class Trainer:
 
         eval_step = jax.jit(
             eval_all,
-            in_shardings=(self._repl, self._repl, bshard, bshard,
+            in_shardings=(self._state_in_spec(), self._repl, bshard, bshard,
                           self._repl),
             out_shardings=(bshard, self._repl))
         dev_idxs = put_sharded(idxs, bshard)
