@@ -424,3 +424,35 @@ def test_tensor_parallel_tables_match_data_parallel(tiny_config, tmp_path,
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-4,
                                    err_msg=jax.tree_util.keystr(k))
+
+
+def test_tensor_parallel_checkpoint_roundtrip(tiny_config, tmp_path,
+                                              eight_cpu_devices):
+    """Orbax save/restore of a tensor-parallel (model-sharded) TrainState:
+    restore onto the sharded template must reproduce params exactly and
+    keep the row-sharded placement."""
+    cfg = tiny_config.replace_flat({"model.model": "vqa_attention",
+                                    "model.dropout": 0.0,
+                                    "model.dtype": "float32",
+                                    "mesh.num_model": 2,
+                                    "mesh.shard_params": "answer_embedding",
+                                    "train.checkpoint_every": 2})
+    spec = build_model(cfg)
+    ds = load_dataset(cfg, "train", stage=spec.stage)
+    tr = Trainer(cfg, spec, train_dir=str(tmp_path / "tp"))
+    s = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    s = tr.fit(ds.batches(cfg.train.batch_size, epochs=100, seed=1), s,
+               max_steps=4)
+    trained = jax.device_get(s.params)
+
+    s2 = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    s2 = tr.restore(s2)
+    assert int(jax.device_get(s2.step)) == 4
+    emb_shard = s2.params["answer_embedding"].sharding
+    assert "model" in str(emb_shard.spec), emb_shard
+    for (k, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(trained),
+            jax.tree_util.tree_leaves_with_path(jax.device_get(s2.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(k))
+    tr.close()

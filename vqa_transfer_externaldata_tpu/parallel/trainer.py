@@ -597,6 +597,10 @@ class Trainer:
                     if key in ("feature", "pool5"):
                         batch[key] = jnp.take(data["pool5"], rows, axis=0)
                     else:
+                        # (An [N, M, Cp]-transposed staging was tried to
+                        # hand the gather the n-outer layout consumers
+                        # want: XLA canonicalizes it into the same
+                        # program — same gather + same layout copy.)
                         parts = [jnp.take(data[f"grid{p}"], rows, axis=0)
                                  for p in range(n_planes)]
                         batch["features"] = (
