@@ -105,3 +105,17 @@ def test_description_variant_two_stage_pipeline(tmp_path):
         "--train.pretrained_param_path",
         os.path.join(vlmap_dir, "params_final")])
     assert os.path.exists(os.path.join(vqa_dir, "params_final"))
+
+
+def test_eval_cli_resident_matches_streaming(tmp_path):
+    """--train.device_data_cache routes eval through the device-resident
+    full-split evaluator; metrics must match the streaming path."""
+    d = train_cli.main(TINY + [
+        "--model.model", "vqa_attention", "--model.dropout", "0.0",
+        "--train.train_dir", str(tmp_path / "run")])
+    m_stream = eval_cli.main(["--train.train_dir", d])
+    m_res = eval_cli.main(["--train.train_dir", d,
+                           "--train.device_data_cache", "true"])
+    assert set(m_res) == set(m_stream)
+    for k in m_stream:
+        assert abs(m_res[k] - m_stream[k]) < 1e-4, (k, m_res[k], m_stream[k])

@@ -73,9 +73,17 @@ def evaluate_split(trainer: Trainer, state: TrainState, ds: ArrayDataset,
     type accuracy breakdowns (SURVEY.md section 3.3) when the split
     carries ``answer_type_id``/``question_type_id``.
     """
-    batches, n = padded_batches(ds, trainer.cfg.train.batch_size)
-    metrics, preds = trainer.evaluate(state, batches)
-    preds = preds[:n]
+    n = len(ds)
+    if trainer.cfg.train.device_data_cache:
+        # Device-resident full-split eval: data uploads once, the whole
+        # padded index epoch is ONE device program (2 host round trips
+        # instead of 3-4 per batch — decisive on a high-latency host
+        # link). Tested equal to the streaming path incl. tail padding.
+        metrics, preds = trainer.evaluate_resident(state, ds)
+    else:
+        batches, n = padded_batches(ds, trainer.cfg.train.batch_size)
+        metrics, preds = trainer.evaluate(state, batches)
+        preds = preds[:n]
     # Exact split-level VQA accuracy from the precomputed score table
     # (utils/metrics.answer_scores), without padded-row dilution.
     if "answer_scores" in ds.arrays:
