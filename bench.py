@@ -65,6 +65,9 @@ def main() -> None:
         # the relay's blocking dispatch (~20 ms) — swept 8/16/32 on v5e:
         # 7.41/7.41/6.34 ms/step.
         "train.steps_per_call": 32,
+        # Gather-free attention straight out of the resident store
+        # (scalar-prefetch kernels): device step 5.09 -> 3.63 ms profiled.
+        "train.resident_fused_attention": True,
     }
     if not on_tpu:  # CPU smoke: shrink so the bench still runs anywhere
         overrides.update({

@@ -1,0 +1,80 @@
+"""Gather-free resident attention == gather + spatial_attention."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vqa_transfer_externaldata_tpu.ops.attention import spatial_attention
+from vqa_transfer_externaldata_tpu.ops.attention_resident import (
+    pad_store_rows, spatial_attention_resident)
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(7)
+    M, N, C, H, B = 6, 12, 128, 128, 16
+    store = rng.normal(size=(M, N, C)).astype(np.float32)
+    rows = rng.integers(0, M, size=B).astype(np.int32)
+    qh = rng.normal(size=(B, H)).astype(np.float32)
+    wv = (rng.normal(size=(C, H)) * 0.05).astype(np.float32)
+    ws = (rng.normal(size=(H,)) * 0.1).astype(np.float32)
+    return store, rows, qh, wv, ws, N
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_forward_matches_gathered(data, normalize):
+    store, rows, qh, wv, ws, N = data
+    padded = jnp.asarray(pad_store_rows(store))
+    v = jnp.asarray(store)[rows]  # the gather the op eliminates
+    va_ref, al_ref = spatial_attention(
+        v, jnp.asarray(qh), jnp.asarray(wv), jnp.asarray(ws),
+        normalize=normalize, use_pallas=False, feature_grad=False,
+        interpret=True)
+    va, al = spatial_attention_resident(
+        padded, jnp.asarray(rows), jnp.asarray(qh), jnp.asarray(wv),
+        jnp.asarray(ws), n_valid=N, normalize=normalize, interpret=True)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(va_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(al), np.asarray(al_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_grads_match_gathered(data, normalize):
+    store, rows, qh, wv, ws, N = data
+    padded = jnp.asarray(pad_store_rows(store))
+    v = jnp.asarray(store)[rows]
+
+    def loss_ref(qh, wv, ws):
+        va, al = spatial_attention(
+            v, qh, wv, ws, normalize=normalize, use_pallas=False,
+            feature_grad=False, interpret=True)
+        return jnp.sum(va ** 2) + jnp.sum(al ** 3)
+
+    def loss_res(qh, wv, ws):
+        va, al = spatial_attention_resident(
+            padded, jnp.asarray(rows), qh, wv, ws, n_valid=N,
+            normalize=normalize, interpret=True)
+        return jnp.sum(va ** 2) + jnp.sum(al ** 3)
+
+    args = (jnp.asarray(qh), jnp.asarray(wv), jnp.asarray(ws))
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    g_res = jax.grad(loss_res, argnums=(0, 1, 2))(*args)
+    for name, a, b in zip(("dqh", "dwv", "dws"), g_res, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_store_cotangent_is_zero(data):
+    store, rows, qh, wv, ws, N = data
+    padded = jnp.asarray(pad_store_rows(store))
+
+    def loss(padded):
+        va, _ = spatial_attention_resident(
+            padded, jnp.asarray(rows), jnp.asarray(qh), jnp.asarray(wv),
+            jnp.asarray(ws), n_valid=N, normalize=True, interpret=True)
+        return jnp.sum(va ** 2)
+
+    g = jax.grad(loss)(padded)
+    assert not np.asarray(g).any()

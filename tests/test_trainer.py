@@ -456,3 +456,62 @@ def test_tensor_parallel_checkpoint_roundtrip(tiny_config, tmp_path,
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=jax.tree_util.keystr(k))
     tr.close()
+
+
+def test_resident_fused_attention_matches_gather(tiny_config, tmp_path,
+                                                 eight_cpu_devices):
+    """--train.resident_fused_attention (gather-free scalar-prefetch
+    attention over the resident store) must train to the same params as
+    the gathered resident path, and evaluate_resident must agree too."""
+    from vqa_transfer_externaldata_tpu.data.features import (
+        FeatureStore, JoinedDataset)
+
+    base = tiny_config.replace_flat({"model.model": "vqa_attention",
+                                     "model.dropout": 0.0,
+                                     "model.dtype": "float32"})
+    d = base.data
+    rng = np.random.default_rng(1)
+    M, n = 16, 128
+    store_path = str(tmp_path / "store.npz")
+    np.savez(store_path,
+             grid=rng.normal(size=(M, d.grid_h, d.grid_w, d.feature_dim))
+             .astype(np.float16),
+             pool5=rng.normal(size=(M, d.pool5_dim)).astype(np.float32),
+             image_ids=np.arange(M, dtype=np.int64))
+    rows = {
+        "q_ids": rng.integers(4, d.vocab_size,
+                              size=(n, d.max_question_len)).astype(np.int32),
+        "answer_id": rng.integers(4, d.num_answers, size=n).astype(np.int32),
+        "image_index": rng.integers(0, M, size=n).astype(np.int32),
+    }
+
+    def joined():
+        return JoinedDataset(dict(rows), FeatureStore(store_path),
+                             index_key="image_index",
+                             feature_keys=("features", "pool5"))
+
+    results = {}
+    for fused in (False, True):
+        cfg = base.replace_flat(
+            {"train.resident_fused_attention": fused})
+        spec = build_model(cfg)
+        assert spec.module.n_cells == d.grid_h * d.grid_w
+        ds = joined()
+        tr = Trainer(cfg, spec, train_dir=str(tmp_path / f"f{fused}"))
+        s = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+        s = tr.fit_resident(ds, s, max_steps=6)
+        m, p = tr.evaluate_resident(s, joined())
+        results[fused] = (jax.device_get(s.params), m, p)
+        tr.close()
+
+    pa, ma, preda = results[False]
+    pb, mb, predb = results[True]
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(pa),
+                              jax.tree_util.tree_leaves_with_path(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(k))
+    assert (preda == predb).mean() > 0.95  # boundary argmax flips only
+    for k in ma:
+        np.testing.assert_allclose(ma[k], mb[k], rtol=1e-3, atol=1e-3,
+                                   err_msg=k)

@@ -135,6 +135,11 @@ class TrainConfig:
     # is poor (this box's TPU relay moves 0.06 GB/s — a 411MB f32 batch
     # costs 6.7s/step uploaded, ~0 device-resident).
     device_data_cache: bool = False
+    # With device_data_cache: skip the per-step [B, N, C] feature gather
+    # entirely — the attention kernels read grid rows straight from the
+    # resident store via Mosaic scalar prefetch (vqa_attention only,
+    # single glimpse). See ops/attention_resident.py.
+    resident_fused_attention: bool = False
 
 
 @dataclass

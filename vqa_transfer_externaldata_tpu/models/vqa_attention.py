@@ -10,6 +10,13 @@ model answer out-of-vocabulary answers (SURVEY.md section 0, C8, C12).
 Batch format: ``features`` [B, N, C] (N = grid cells), ``q_ids`` [B, T]
 int32 (<pad>=0), ``answer_id`` [B] int32 (train), ``answer_scores`` [B, A]
 f32 (eval). All shapes static.
+
+Device-resident gather-free mode: ``features`` may instead be a tuple
+``(store [M, Np, C], rows [B] int32)`` — the attention kernels then read
+each question's grid row straight from the resident store via scalar
+prefetch (ops/attention_resident), and no [B, N, C] batch ever
+materializes. Enabled by ``--train.resident_fused_attention`` on the
+device-resident training/eval paths.
 """
 
 from __future__ import annotations
@@ -46,6 +53,9 @@ class VQAAttentionModel(nn.Module):
     # unfrozen backbone). False (feature-store training, frozen backbone)
     # lets the attention backward skip the [B, N, C] dv matmul + write.
     feature_grad: bool = False
+    # True grid-cell count when ``features`` is a (store, rows) tuple
+    # (the store's cell axis is padded to a sublane multiple).
+    n_cells: Optional[int] = None
     word_init: Optional[np.ndarray] = None  # [vocab, word_dim] GloVe
     answer_init: Optional[np.ndarray] = None  # [answers, answer_dim]
 
@@ -53,7 +63,12 @@ class VQAAttentionModel(nn.Module):
     def __call__(self, features: jnp.ndarray, q_ids: jnp.ndarray,
                  *, train: bool = False) -> Dict[str, jnp.ndarray]:
         dt = self.dtype
-        B, N, C = features.shape
+        resident = isinstance(features, (tuple, list))
+        if resident:
+            store, feat_rows = features
+            _, N, C = store.shape
+        else:
+            B, N, C = features.shape
 
         # --- question encoder -------------------------------------------
         mask = (q_ids != PAD_ID).astype(jnp.float32)
@@ -71,12 +86,13 @@ class VQAAttentionModel(nn.Module):
 
         # --- single-glimpse spatial attention (fused Pallas kernel; the
         # per-cell L2 normalization is fused into the op) ----------------
-        v = features.astype(dt)
+        v = None if resident else features.astype(dt)
         qh = nn.Dense(self.att_hidden, dtype=dt, param_dtype=jnp.float32,
                       name="att_q")(q)
         wv = self.param("att_wv", nn.initializers.glorot_uniform(),
                         (C, self.att_hidden), jnp.float32)
         if self.glimpses > 1:
+            assert not resident, "multi-glimpse needs gathered features"
             from vqa_transfer_externaldata_tpu.ops.attention import (
                 spatial_attention_multi)
 
@@ -87,20 +103,29 @@ class VQAAttentionModel(nn.Module):
         else:
             ws = self.param("att_ws", nn.initializers.normal(0.05),
                             (self.att_hidden,), jnp.float32)
-            # Mode-dependent forward dispatch (measured on v5e, batch 256):
-            # the Pallas streaming kernel wins forward-only (1.8 vs 2.0 ms)
-            # — eval/serving take it; training takes XLA's fused forward.
-            # The backward is the explicit bf16 jnp math (autodiff would
-            # run the dv/dwv dots in f32 at 1/4 MXU rate — profiled 1.9 ms
-            # for dwv alone); feature_grad=False (feature-store training,
-            # frozen backbone) skips the two [B, N, C] dv matmuls. The
-            # fused Pallas backward exists but measured slower at this
-            # grid size (A/B in ops/attention._make_fused).
-            v_att, alpha = spatial_attention(v, qh, wv, ws,
-                                             normalize=self.normalize_v,
-                                             use_pallas=(self.use_pallas
-                                                         and not train),
-                                             feature_grad=self.feature_grad)
+            if resident:
+                from vqa_transfer_externaldata_tpu.ops.attention_resident \
+                    import spatial_attention_resident
+
+                v_att, alpha = spatial_attention_resident(
+                    store.astype(dt), feat_rows, qh, wv, ws,
+                    n_valid=self.n_cells or store.shape[1],
+                    normalize=self.normalize_v)
+            else:
+                # Mode-dependent forward dispatch (measured on v5e, batch
+                # 256): the Pallas streaming kernel wins forward-only
+                # (1.8 vs 2.0 ms) — eval/serving take it; training takes
+                # XLA's fused forward. The backward is the explicit bf16
+                # jnp math (autodiff would run the dv/dwv dots in f32 at
+                # 1/4 MXU rate — profiled 1.9 ms for dwv alone);
+                # feature_grad=False (feature-store training, frozen
+                # backbone) skips the two [B, N, C] dv matmuls. The fused
+                # Pallas backward exists but measured slower at this grid
+                # size (A/B in ops/attention._make_fused).
+                v_att, alpha = spatial_attention(
+                    v, qh, wv, ws, normalize=self.normalize_v,
+                    use_pallas=(self.use_pallas and not train),
+                    feature_grad=self.feature_grad)
 
         # --- fusion (elementwise product of gated projections) ----------
         fq = GatedTanh(self.fusion_dim, dtype=dt, name="fuse_q")(q)

@@ -50,6 +50,7 @@ def build_model(cfg: Config,
             answer_dim=m.answer_dim, dropout=m.dropout, dtype=dt,
             use_pallas=m.use_pallas, glimpses=glimpses,
             rnn_variant=m.rnn_variant,
+            n_cells=d.grid_h * d.grid_w,
             word_init=word_init, answer_init=answer_init)
         return ModelSpec(module,
                          lambda b: (b["features"], b["q_ids"]),

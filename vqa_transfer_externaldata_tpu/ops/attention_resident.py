@@ -1,0 +1,322 @@
+"""Gather-free spatial attention over a device-resident feature store.
+
+The production hot path (reference C7/C8 data flow: questions join image
+features by ``image_index``) materializes a [B, N, C] gathered batch every
+step — profiled at ~1.1 ms of a 5.1 ms step on v5e (XLA's gather lowering
+plus a layout copy, see parallel/trainer._prepare_resident). This op
+removes the gather entirely: the attention kernels read each question's
+grid row DIRECTLY from the [M, N, C] store in HBM via Mosaic scalar
+prefetch (the canonical TPU embedding-lookup pattern — the per-question
+``rows`` vector is prefetched to SMEM and the v-block index map points at
+``rows[i]``), so grid features cross HBM exactly once in the forward and
+once in the backward, with no [B, N, C] intermediate ever existing.
+
+Shapes/limits: store [M, Np, C] with Np a multiple of 8 and C of 128
+(``pad_store_rows`` pads the 196-cell grid to 200); B a multiple of 8.
+The store is data by definition, so the op is feature_grad=False by
+construction (zero/float0 cotangents for store/rows).
+
+Math is identical to ops/attention.spatial_attention with
+``normalize=True/False`` in the scale-after-matmul convention; parity is
+tested against it in interpret mode and on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def pad_store_rows(grid: np.ndarray, multiple: int = 8) -> np.ndarray:
+    """Pad the cell axis of an [M, N, C] store to a sublane multiple with
+    zero rows (masked out by ``n_valid`` in the kernels)."""
+    M, N, C = grid.shape
+    pad = (-N) % multiple
+    if pad == 0:
+        return grid
+    return np.concatenate(
+        [grid, np.zeros((M, pad, C), grid.dtype)], axis=1)
+
+
+def _onehot8(k, dtype):
+    """[8, 1] one-hot column for the in-window row index ``k``."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    return (idx == k).astype(dtype)
+
+
+def _make_fwd_kernel(n_valid: int, normalize: bool):
+    def kernel(rows_ref, v_ref, qh_ref, wv_ref, ws_ref,
+               vatt_ref, alpha_ref):
+        del rows_ref  # consumed by the v block index map
+        i = pl.program_id(0)
+        k = i % 8  # row within the 8-question output window
+        f32 = jnp.float32
+
+        @pl.when(k == 0)
+        def _():
+            vatt_ref[:] = jnp.zeros_like(vatt_ref)
+            alpha_ref[:] = jnp.zeros_like(alpha_ref)
+
+        v = v_ref[0]  # [Np, C] this question's grid row
+        dt = v.dtype
+        Np = v.shape[0]
+        z = jnp.dot(v, wv_ref[:], preferred_element_type=f32)  # [Np, H]
+        if normalize:
+            sq = jnp.sum(jnp.square(v), axis=-1, keepdims=True,
+                         dtype=f32)
+            r = jax.lax.rsqrt(sq + 1e-12)  # [Np, 1]
+            z = z * r
+        # this question's qh row, selected by a [1,8]x[8,H] one-hot dot
+        qh_row = jax.lax.dot_general(
+            _onehot8(k, qh_ref.dtype).reshape(1, 8), qh_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)  # [1, H]
+        h = jnp.maximum(z + qh_row, 0.0)
+        ws_row = ws_ref[:1].astype(f32)  # [1, H]
+        s = jnp.sum(h * ws_row, axis=-1, keepdims=True)  # [Np, 1]
+        idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(idx < n_valid, s, _NEG_INF)
+        m = jnp.max(s)
+        p = jnp.exp(s - m)
+        w = p / jnp.sum(p)  # [Np, 1] softmax weights
+        pw = (w * r) if normalize else w
+        vatt_row = jax.lax.dot_general(
+            pw.astype(dt), v, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)  # [1, C]
+        vatt_ref[0] += _onehot8(k, f32) * vatt_row
+        alpha_ref[0] += _onehot8(k, f32) * w.reshape(1, Np)
+
+    return kernel
+
+
+def _make_bwd_kernel(n_valid: int, normalize: bool):
+    def kernel(rows_ref, v_ref, qh_ref, wv_ref, ws_ref, alpha_ref,
+               g_ref, sga_ref, dqh_ref, dwv_ref, dws_ref):
+        del rows_ref
+        i = pl.program_id(0)
+        k = i % 8
+        f32 = jnp.float32
+
+        @pl.when(i == 0)
+        def _():
+            dwv_ref[:] = jnp.zeros_like(dwv_ref)
+            dws_ref[:] = jnp.zeros_like(dws_ref)
+
+        @pl.when(k == 0)
+        def _():
+            dqh_ref[:] = jnp.zeros_like(dqh_ref)
+
+        v = v_ref[0]  # [Np, C]
+        dt = v.dtype
+        Np = v.shape[0]
+        onehot_row = _onehot8(k, dt).reshape(1, 8)
+        g_row = jax.lax.dot_general(  # [1, C] cotangent of v_att
+            onehot_row, g_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(dt)
+        alpha_row = jax.lax.dot_general(  # [1, Np]
+            _onehot8(k, f32).reshape(1, 8), alpha_ref[0],
+            (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        sga_row = jax.lax.dot_general(  # [1, Np]: ga + (-S) packed
+            _onehot8(k, f32).reshape(1, 8), sga_ref[0],
+            (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+        if normalize:
+            sq = jnp.sum(jnp.square(v), axis=-1, keepdims=True,
+                         dtype=f32)
+            r = jax.lax.rsqrt(sq + 1e-12)  # [Np, 1]
+        # dalpha_n = g . v_hat_n (+ ga_n - S, packed in sga)
+        dalpha = jax.lax.dot_general(
+            g_row, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)  # [1, Np]
+        if normalize:
+            dalpha = dalpha * r.reshape(1, Np)
+        ds = alpha_row * (dalpha + sga_row)  # [1, Np]
+        ds_col = ds.reshape(Np, 1)
+
+        z = jnp.dot(v, wv_ref[:], preferred_element_type=f32)  # [Np, H]
+        if normalize:
+            z = z * r
+        qh_row = jax.lax.dot_general(
+            onehot_row, qh_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        z = z + qh_row
+        h = jnp.maximum(z, 0.0)
+        ws_row = ws_ref[:1].astype(f32)
+        dz = jnp.where(z > 0.0, ds_col * ws_row, 0.0)  # [Np, H]
+
+        dws_ref[0:1] += jnp.sum(ds_col * h, axis=0, keepdims=True)
+        dqh_ref[0] += _onehot8(k, f32) * jnp.sum(dz, axis=0,
+                                                 keepdims=True)
+        dz_r = dz * r if normalize else dz
+        dwv_ref[:] += jax.lax.dot_general(
+            v, dz_r.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)  # [C, H]
+
+    return kernel
+
+
+def _check_shapes(store, rows, qh, interpret):
+    M, Np, C = store.shape
+    B = rows.shape[0]
+    assert Np % 8 == 0, f"store cell axis {Np} must be a multiple of 8"
+    if not interpret:  # Mosaic lane constraint; interpret mode is free
+        assert C % 128 == 0, (
+            f"store channel axis {C} must be a multiple of 128")
+    assert B % 8 == 0, f"batch {B} must be a multiple of 8"
+    return M, Np, C, B, qh.shape[-1]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_valid", "normalize", "interpret"))
+def _resident_fwd(store, rows, qh, wv, ws, *, n_valid, normalize,
+                  interpret):
+    M, Np, C, B, H = _check_shapes(store, rows, qh, interpret)
+    dt = store.dtype
+    qh8 = qh.astype(dt).reshape(B // 8, 8, H)
+    wv_c = wv.astype(dt)
+    ws_rows = jnp.broadcast_to(ws.astype(dt)[None, :], (8, H))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Np, C), lambda i, rows: (rows[i], 0, 0)),
+            pl.BlockSpec((1, 8, H), lambda i, rows: (i // 8, 0, 0)),
+            pl.BlockSpec((C, H), lambda i, rows: (0, 0)),
+            pl.BlockSpec((8, H), lambda i, rows: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, C), lambda i, rows: (i // 8, 0, 0)),
+            pl.BlockSpec((1, 8, Np), lambda i, rows: (i // 8, 0, 0)),
+        ],
+    )
+    vatt8, alpha8 = pl.pallas_call(
+        _make_fwd_kernel(n_valid, normalize),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B // 8, 8, C), jnp.float32),
+            jax.ShapeDtypeStruct((B // 8, 8, Np), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * (C * H + C),
+            bytes_accessed=B * Np * C * store.dtype.itemsize,
+            transcendentals=B * Np,
+        ),
+        interpret=interpret,
+    )(rows.astype(jnp.int32), store, qh8, wv_c, ws_rows)
+    return vatt8.reshape(B, C), alpha8.reshape(B, Np)[:, :n_valid]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_valid", "normalize", "interpret"))
+def _resident_bwd(store, rows, qh, wv, ws, alpha, g, sga, *, n_valid,
+                  normalize, interpret):
+    M, Np, C, B, H = _check_shapes(store, rows, qh, interpret)
+    dt = store.dtype
+    qh8 = qh.astype(dt).reshape(B // 8, 8, H)
+    wv_c = wv.astype(dt)
+    ws_rows = jnp.broadcast_to(ws.astype(dt)[None, :], (8, H))
+    alpha8 = alpha.astype(jnp.float32).reshape(B // 8, 8, Np)
+    g8 = g.astype(dt).reshape(B // 8, 8, C)
+    sga8 = sga.astype(jnp.float32).reshape(B // 8, 8, Np)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Np, C), lambda i, rows: (rows[i], 0, 0)),
+            pl.BlockSpec((1, 8, H), lambda i, rows: (i // 8, 0, 0)),
+            pl.BlockSpec((C, H), lambda i, rows: (0, 0)),
+            pl.BlockSpec((8, H), lambda i, rows: (0, 0)),
+            pl.BlockSpec((1, 8, Np), lambda i, rows: (i // 8, 0, 0)),
+            pl.BlockSpec((1, 8, C), lambda i, rows: (i // 8, 0, 0)),
+            pl.BlockSpec((1, 8, Np), lambda i, rows: (i // 8, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, H), lambda i, rows: (i // 8, 0, 0)),
+            pl.BlockSpec((C, H), lambda i, rows: (0, 0)),
+            pl.BlockSpec((8, H), lambda i, rows: (0, 0)),
+        ],
+    )
+    dqh8, dwv, dws = pl.pallas_call(
+        _make_bwd_kernel(n_valid, normalize),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B // 8, 8, H), jnp.float32),
+            jax.ShapeDtypeStruct((C, H), jnp.float32),
+            jax.ShapeDtypeStruct((8, H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * C * H * 2,
+            bytes_accessed=B * Np * C * store.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rows.astype(jnp.int32), store, qh8, wv_c, ws_rows, alpha8, g8,
+      sga8)
+    return dqh8.reshape(B, H), dwv, dws[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused(n_valid: int, normalize: bool, interpret: bool):
+    @jax.custom_vjp
+    def fused(store, rows, qh, wv, ws):
+        return _resident_fwd(store, rows, qh, wv, ws, n_valid=n_valid,
+                             normalize=normalize, interpret=interpret)
+
+    def fwd(store, rows, qh, wv, ws):
+        vatt, alpha = fused(store, rows, qh, wv, ws)
+        return (vatt, alpha), (store, rows, qh, wv, ws, alpha, vatt)
+
+    def bwd(residuals, cotangents):
+        store, rows, qh, wv, ws, alpha, vatt = residuals
+        g, ga = cotangents
+        f32 = jnp.float32
+        Np = store.shape[1]
+        B = rows.shape[0]
+        # S_b = g_b . vatt_b + sum alpha ga (residuals only); pack
+        # (ga - S) padded to Np so the kernel applies both in one add.
+        ga_f = ga.astype(f32)
+        alpha_f = alpha.astype(f32)
+        s = (jnp.einsum("bc,bc->b", g.astype(f32), vatt.astype(f32),
+                        preferred_element_type=f32)
+             + jnp.sum(alpha_f * ga_f, axis=1))
+        sga = jnp.pad(ga_f, ((0, 0), (0, Np - ga_f.shape[1]))) \
+            - s[:, None]
+        alpha_p = jnp.pad(alpha_f, ((0, 0), (0, Np - alpha_f.shape[1])))
+        dqh, dwv, dws = _resident_bwd(
+            store, rows, qh, wv, ws, alpha_p, g.astype(f32), sga,
+            n_valid=n_valid, normalize=normalize, interpret=interpret)
+        return (jnp.zeros_like(store),
+                np.zeros(rows.shape, jax.dtypes.float0),
+                dqh.astype(qh.dtype), dwv.astype(wv.dtype),
+                dws.astype(ws.dtype))
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def spatial_attention_resident(
+    store: jnp.ndarray,  # [M, Np, C] resident feature store (padded)
+    rows: jnp.ndarray,  # [B] int32 store row per question
+    qh: jnp.ndarray,  # [B, H] projected question
+    wv: jnp.ndarray,  # [C, H]
+    w_score: jnp.ndarray,  # [H]
+    *,
+    n_valid: int,  # true cell count (<= Np; rest masked)
+    normalize: bool = False,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-free attention: returns (v_att [B, C] f32,
+    alpha [B, n_valid] f32). Gradients flow to qh/wv/w_score only (the
+    store is data)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _make_fused(n_valid, normalize, interpret)(
+        store, rows, qh, wv, w_score)

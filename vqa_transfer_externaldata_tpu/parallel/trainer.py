@@ -579,14 +579,29 @@ class Trainer:
             # re-concat fuses away).
             grid_c = store["features"]
             C2 = grid_c.shape[-1]
-            n_planes = max(1, (C2 + 1023) // 1024)
-            width = (C2 + n_planes - 1) // n_planes
-            for p in range(n_planes):
-                data[f"grid{p}"] = np.ascontiguousarray(
-                    grid_c[..., p * width:(p + 1) * width])
+            fused_att = (self.cfg.train.resident_fused_attention
+                         and getattr(self.spec.module, "n_cells", None)
+                         and getattr(self.spec.module, "glimpses", 1) == 1)
+            n_planes = 0
+            if fused_att:
+                # Gather-free mode: ONE padded store; the attention
+                # kernels scalar-prefetch rows straight out of it
+                # (ops/attention_resident) — no [B, N, C] batch, no
+                # gather, no layout copy.
+                from vqa_transfer_externaldata_tpu.ops.attention_resident \
+                    import pad_store_rows
+
+                data["grid_pad"] = pad_store_rows(grid_c)
+            else:
+                n_planes = max(1, (C2 + 1023) // 1024)
+                width = (C2 + n_planes - 1) // n_planes
+                for p in range(n_planes):
+                    data[f"grid{p}"] = np.ascontiguousarray(
+                        grid_c[..., p * width:(p + 1) * width])
             data["pool5"] = store["pool5"]
         else:
             n_planes = 0
+            fused_att = False
 
         def make_batch(idx, data):
             batch = {k: jnp.take(v, idx, axis=0)
@@ -596,6 +611,9 @@ class Trainer:
                 for key in feature_keys:
                     if key in ("feature", "pool5"):
                         batch[key] = jnp.take(data["pool5"], rows, axis=0)
+                    elif fused_att:
+                        # No gather: hand the model (store, rows).
+                        batch["features"] = (data["grid_pad"], rows)
                     else:
                         # (An [N, M, Cp]-transposed staging was tried to
                         # hand the gather the n-outer layout consumers
