@@ -579,9 +579,18 @@ class Trainer:
             # re-concat fuses away).
             grid_c = store["features"]
             C2 = grid_c.shape[-1]
+            on_tpu = jax.default_backend() == "tpu"
             fused_att = (self.cfg.train.resident_fused_attention
                          and getattr(self.spec.module, "n_cells", None)
-                         and getattr(self.spec.module, "glimpses", 1) == 1)
+                         and getattr(self.spec.module, "glimpses", 1) == 1
+                         and self.cfg.train.batch_size % 8 == 0
+                         and (not on_tpu or C2 % 128 == 0))
+            if self.cfg.train.resident_fused_attention and not fused_att:
+                log.warning(
+                    "resident_fused_attention requested but unavailable "
+                    "(needs single-glimpse vqa_attention, batch %% 8 == 0, "
+                    "feature_dim %% 128 == 0 on TPU) — using the gathered "
+                    "resident path")
             n_planes = 0
             if fused_att:
                 # Gather-free mode: ONE padded store; the attention
