@@ -50,7 +50,7 @@ def main() -> None:
 
     on_tpu = jax.default_backend() != "cpu"
     batch_size = 256 if on_tpu else 32
-    window = 64 if on_tpu else 3
+    window = 128 if on_tpu else 3
     n_windows = 4
     overrides = {
         "data.synthetic": True,
