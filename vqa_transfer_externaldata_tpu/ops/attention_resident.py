@@ -19,6 +19,15 @@ construction (zero/float0 cotangents for store/rows).
 Math is identical to ops/attention.spatial_attention with
 ``normalize=True/False`` in the scale-after-matmul convention; parity is
 tested against it in interpret mode and on hardware.
+
+Multi-chip: under jit+GSPMD the custom call partitions conservatively —
+the store is replicated (it is replicated in HBM anyway on the
+data-parallel mesh) and the batch-sharded qh/rows/g operands follow
+GSPMD's custom-call handling; the 8-device-mesh trainer parity test
+(tests/test_trainer.py::test_resident_fused_attention_matches_gather)
+pins the semantics. For multi-chip peak efficiency wrap the op in
+shard_map over the data axis (each shard runs its own B/n grid) — not
+needed on the single-chip bench target.
 """
 
 from __future__ import annotations
