@@ -4,9 +4,14 @@
 
 PY ?= python
 
-.PHONY: test native bench dryrun clean
+.PHONY: test test-all native bench dryrun clean
 
+# Fast default suite (a few minutes on an 8-core box); the multi-minute
+# end-to-end runs are marked `slow` and run via `make test-all`.
 test:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-all:
 	$(PY) -m pytest tests/ -q
 
 native:

@@ -124,6 +124,10 @@ def test_transfer_init_missing_word_table_errors(tiny_config):
                       vl, word_vocab, answer_vocab)
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_transfer_beats_scratch_on_oov_answers(tiny_config, tmp_path,
                                                eight_cpu_devices):
     """The paper's core claim, demonstrated end-to-end on a synthetic
@@ -142,12 +146,12 @@ def test_transfer_beats_scratch_on_oov_answers(tiny_config, tmp_path,
     from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
 
     cfg = tiny_config.replace_flat({
-        "train.max_steps": 400, "train.batch_size": 64,
+        "train.max_steps": 200, "train.batch_size": 64,
         "train.learning_rate": 3e-3, "train.checkpoint_every": 10_000,
         "train.log_every": 200,
     })
     vlmap_ds, train_ds, val_ds, oov_ids = synthetic_transfer_corpus(
-        cfg, n_vlmap=4096, n_train=4096, n_val=512, noise=0.25, seed=0)
+        cfg, n_vlmap=2048, n_train=2048, n_val=384, noise=0.25, seed=0)
     word_vocab, answer_vocab = synthetic_vocabs(cfg)
 
     # --- stage 1: pretrain the word space on external data (all answers)

@@ -612,8 +612,9 @@ def spatial_attention(
     normalization of ``v`` into the op (in-VMEM on the Pallas path).
     ``use_pallas`` picks the forward implementation; the explicit bf16
     backward applies to both unless ``custom_grad=False`` (pure autodiff,
-    kept for gradient cross-checks). ``bwd_kernel`` (default: follow
-    ``use_pallas``) selects the fused one-grid-pass Pallas backward;
+    kept for gradient cross-checks). ``bwd_kernel`` (default False: the
+    explicit jnp backward measured faster in the real train step — see
+    ``_make_fused.bwd``) selects the fused one-grid-pass Pallas backward;
     ``feature_grad=False`` skips the dv computation for callers whose grid
     features need no gradient (data / frozen backbone) — ONLY safe then.
     ``interpret=None`` auto-selects interpreter mode off-TPU so tests

@@ -127,14 +127,15 @@ def _make_bwd_kernel(n_valid: int, normalize: bool):
         dt = v.dtype
         Np = v.shape[0]
         onehot_row = _onehot8(k, dt).reshape(1, 8)
+        onehot_f = _onehot8(k, f32).reshape(1, 8)
         g_row = jax.lax.dot_general(  # [1, C] cotangent of v_att
             onehot_row, g_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=f32).astype(dt)
         alpha_row = jax.lax.dot_general(  # [1, Np]
-            _onehot8(k, f32).reshape(1, 8), alpha_ref[0],
+            onehot_f, alpha_ref[0],
             (((1,), (0,)), ((), ())), preferred_element_type=f32)
         sga_row = jax.lax.dot_general(  # [1, Np]: ga + (-S) packed
-            _onehot8(k, f32).reshape(1, 8), sga_ref[0],
+            onehot_f, sga_ref[0],
             (((1,), (0,)), ((), ())), preferred_element_type=f32)
 
         if normalize:
@@ -153,8 +154,8 @@ def _make_bwd_kernel(n_valid: int, normalize: bool):
         z = jnp.dot(v, wv_ref[:], preferred_element_type=f32)  # [Np, H]
         if normalize:
             z = z * r
-        qh_row = jax.lax.dot_general(
-            onehot_row, qh_ref[0], (((1,), (0,)), ((), ())),
+        qh_row = jax.lax.dot_general(  # qh block is f32 (see _resident_bwd)
+            onehot_f, qh_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
         z = z + qh_row
         h = jnp.maximum(z, 0.0)
@@ -189,7 +190,10 @@ def _resident_fwd(store, rows, qh, wv, ws, *, n_valid, normalize,
                   interpret):
     M, Np, C, B, H = _check_shapes(store, rows, qh, interpret)
     dt = store.dtype
-    qh8 = qh.astype(dt).reshape(B // 8, 8, H)
+    # qh stays f32: the gathered paths add the question projection to the
+    # f32 score accumulator without a bf16 round trip
+    # (ops/attention._attention_pallas_fwd) — same convention here.
+    qh8 = qh.astype(jnp.float32).reshape(B // 8, 8, H)
     wv_c = wv.astype(dt)
     ws_rows = jnp.broadcast_to(ws.astype(dt)[None, :], (8, H))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -229,10 +233,13 @@ def _resident_bwd(store, rows, qh, wv, ws, alpha, g, sga, *, n_valid,
                   normalize, interpret):
     M, Np, C, B, H = _check_shapes(store, rows, qh, interpret)
     dt = store.dtype
-    qh8 = qh.astype(dt).reshape(B // 8, 8, H)
+    qh8 = qh.astype(jnp.float32).reshape(B // 8, 8, H)  # f32, as in fwd
     wv_c = wv.astype(dt)
     ws_rows = jnp.broadcast_to(ws.astype(dt)[None, :], (8, H))
     alpha8 = alpha.astype(jnp.float32).reshape(B // 8, 8, Np)
+    # g rides the MXU against the bf16 store for dalpha = g . v_hat —
+    # the gathered backward casts identically (ops/attention._make_fused
+    # .bwd: einsum(g.astype(v.dtype), v)).
     g8 = g.astype(dt).reshape(B // 8, 8, C)
     sga8 = sga.astype(jnp.float32).reshape(B // 8, 8, Np)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -52,6 +52,12 @@ def make_lr_schedule(cfg: Config) -> optax.Schedule:
     return schedule
 
 
+def _next_multiple(step: int, every: int) -> int:
+    """Smallest multiple of ``every`` strictly greater than ``step``."""
+    every = max(1, every)
+    return (step // every + 1) * every
+
+
 def _freeze_mask_fn(names_csv: str) -> Callable[[Any], Any]:
     """Pytree-of-bools mask: True (frozen) where any path component of the
     leaf matches a name in the comma-separated list."""
@@ -73,19 +79,21 @@ def make_optimizer(cfg: Config) -> Tuple[optax.GradientTransformation,
                                          optax.Schedule]:
     t = cfg.train
     lr = make_lr_schedule(cfg)
-    tx = optax.chain(
+    parts = [
         optax.clip_by_global_norm(t.grad_clip_norm),
         optax.adamw(lr, b1=t.adam_beta1, b2=t.adam_beta2, eps=t.adam_eps,
                     weight_decay=t.weight_decay),
-    )
+    ]
     if t.freeze_params:
-        # Zero the final updates for frozen leaves (after adamw, so weight
-        # decay cannot leak in). The transferred answer space stays exactly
-        # as transfer_init wrote it.
-        tx = optax.chain(
-            tx, optax.masked(optax.set_to_zero(),
-                             _freeze_mask_fn(t.freeze_params)))
-    return tx, lr
+        # Frozen leaves are zeroed BEFORE the global-norm clip (their
+        # gradients must not inflate the clip norm and scale down every
+        # live param's update) and again AFTER adamw (weight decay would
+        # otherwise leak into the frozen leaves). The transferred answer
+        # space stays exactly as transfer_init wrote it.
+        freeze = optax.masked(optax.set_to_zero(),
+                              _freeze_mask_fn(t.freeze_params))
+        parts = [freeze, *parts, freeze]
+    return optax.chain(*parts), lr
 
 
 class Trainer:
@@ -120,8 +128,18 @@ class Trainer:
             self.mesh, P(None, self.mesh.axis_names[0]))
         self._shard_rules = tuple(
             s.strip() for s in cfg.mesh.shard_params.split(",") if s.strip())
-        self._train_step = self._build_train_step()
+        self._step_cache: Dict[int, Callable] = {}
+        self._train_step = self._step_for(max(1, cfg.train.steps_per_call))
         self._eval_step = self._build_eval_step()
+
+    def _step_for(self, k: int) -> Callable:
+        """Compiled train step fusing ``k`` optimizer steps per dispatch.
+        Cached per k — the non-divisible tail of a run (max_steps % k != 0)
+        costs exactly one extra compile instead of overshooting max_steps
+        on padded duplicate batches."""
+        if k not in self._step_cache:
+            self._step_cache[k] = self._build_train_step(k)
+        return self._step_cache[k]
 
     def _tree_shardings(self, tree: Any) -> Any:
         """Per-leaf placements for a params-like tree: leaves whose tree
@@ -209,7 +227,7 @@ class Trainer:
 
     # -- compiled steps --------------------------------------------------------
 
-    def _build_train_step(self) -> Callable:
+    def _build_train_step(self, k: int = 1) -> Callable:
         spec, tx, lr_fn = self.spec, self.tx, self.lr_fn
 
         remat = self.cfg.train.remat
@@ -250,7 +268,6 @@ class Trainer:
 
         self._raw_step_fn = step_fn  # reused by the device-resident path
         donate = (0,) if self.cfg.train.donate_state else ()
-        k = self.cfg.train.steps_per_call
         if k > 1:
             # Fuse k steps into one dispatch: scan over a [k, ...]-stacked
             # batch. Amortizes per-dispatch runtime overhead (significant
@@ -308,6 +325,12 @@ class Trainer:
         pending: Dict[str, jax.Array] = {}
         step = int(jax.device_get(state.step))
         last_log = step
+        # Deterministic cadence: fire when step crosses the next multiple
+        # of the interval, then re-arm past the current step. The old
+        # ``step % every < k`` test double-fired or skipped whenever
+        # ``every % steps_per_call != 0``.
+        next_log = _next_multiple(step, t.log_every)
+        next_eval = _next_multiple(step, t.eval_every)
         log.info("training from step %d to %d (global batch %d over %s)",
                  step, max_steps, t.batch_size, self.mesh)
         profile_until = (t.profile_start + t.profile_steps
@@ -318,30 +341,29 @@ class Trainer:
                     os.path.join(self.train_dir, "profile"))
                 log.info("profiler trace started (steps %d..%d)",
                          step, profile_until)
-            k = t.steps_per_call
+            # Tail dispatch clamps to max_steps (one extra compile via
+            # _step_for) instead of overshooting on duplicate batches.
+            k = min(max(1, t.steps_per_call), max_steps - step)
             if k > 1:
                 group = [self._cast_features_host(next(train_batches))
-                         for _ in range(min(k, max_steps - step))]
-                while len(group) < k:  # static shapes for the last call
-                    group.append(group[-1])
+                         for _ in range(k)]
                 batch = {key: np.stack([g[key] for g in group])
                          for key in group[0]}
                 batch = put_sharded(batch, self._bstack_shard)
-                state, pending = self._train_step(state, batch)
-                step += k
             else:
                 batch = self._cast_features_host(next(train_batches))
                 batch = put_sharded(batch, self._bshard)
-                state, pending = self._train_step(state, batch)
-                step += 1
-            if t.profile_steps and step == profile_until:
+            state, pending = self._step_for(k)(state, batch)
+            step += k
+            if t.profile_steps and step >= profile_until > 0:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), pending)
                 jax.profiler.stop_trace()
+                profile_until = -1
                 log.info("profiler trace written to %s/profile",
                          self.train_dir)
-            if (step % t.log_every < max(1, t.steps_per_call)
-                    or step >= max_steps):
+            if step >= next_log or step >= max_steps:
+                next_log = _next_multiple(step, t.log_every)
                 # ONE combined fetch: each device_get is a full relay
                 # round trip (~35 ms on this box) — per-key fetching of a
                 # 7-scalar dict costs 7 round trips.
@@ -356,8 +378,8 @@ class Trainer:
                          m.get("loss", float("nan")),
                          m.get("accuracy", float("nan")),
                          m["questions_per_sec"])
-            if (eval_batches_fn is not None
-                    and step % t.eval_every < max(1, t.steps_per_call)):
+            if eval_batches_fn is not None and step >= next_eval:
+                next_eval = _next_multiple(step, t.eval_every)
                 eval_metrics, _ = self.evaluate(state, eval_batches_fn())
                 self.metrics.write(step, eval_metrics, prefix="val")
                 log.info("eval @ %d: %s", step,
@@ -392,10 +414,13 @@ class Trainer:
         t = self.cfg.train
         max_steps = max_steps if max_steps is not None else t.max_steps
         data, make_batch, nbytes = self._prepare_resident(ds)
+        store_rows = next((data[key].shape[0]
+                           for key in ("grid0", "grid_pad") if key in data),
+                          None)
         log.info("device-resident dataset: %d rows%s, %.2f GB uploaded once",
                  ds.size,
-                 f" + {data['grid0'].shape[0]}-row feature store"
-                 if "grid0" in data else "", nbytes / 1e9)
+                 f" + {store_rows}-row feature store" if store_rows else "",
+                 nbytes / 1e9)
         dev_arrays = put_sharded(data, self._repl)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -418,23 +443,34 @@ class Trainer:
         kidx_shard = NamedSharding(
             self.mesh, P(None, self.mesh.axis_names[0]))
 
-        def step_scan(state, seg, off, data):
-            idxs = jax.lax.dynamic_slice_in_dim(seg, off, k)
+        def make_step(kk: int):
+            def step_scan(state, seg, off, data):
+                idxs = jax.lax.dynamic_slice_in_dim(seg, off, kk)
 
-            def body(st, idx):
-                return raw_step(st, make_batch(idx, data))
+                def body(st, idx):
+                    return raw_step(st, make_batch(idx, data))
 
-            state, ms = jax.lax.scan(body, state, idxs)
-            return (state, jax.tree_util.tree_map(lambda x: x[-1], ms),
-                    off + k)
+                state, ms = jax.lax.scan(body, state, idxs)
+                return (state, jax.tree_util.tree_map(lambda x: x[-1], ms),
+                        off + kk)
 
-        step = jax.jit(step_scan,
-                       in_shardings=(self._state_in_spec(), kidx_shard,
-                                     self._repl,
-                                     self._repl),
-                       out_shardings=(self._state_in_spec(), self._repl,
-                                      self._repl),
-                       donate_argnums=donate)
+            return jax.jit(step_scan,
+                           in_shardings=(self._state_in_spec(), kidx_shard,
+                                         self._repl,
+                                         self._repl),
+                           out_shardings=(self._state_in_spec(), self._repl,
+                                          self._repl),
+                           donate_argnums=donate)
+
+        # Per-k compiled dispatch: the non-divisible tail of a run clamps
+        # to max_steps (one extra compile) instead of overshooting on
+        # padded duplicate index rows.
+        step_cache: Dict[int, Callable] = {}
+
+        def step_for(kk: int):
+            if kk not in step_cache:
+                step_cache[kk] = make_step(kk)
+            return step_cache[kk]
 
         # In-loop eval: a resident evaluator (val split stays in HBM too)
         # when a dataset is given; host-streamed batches otherwise. Built
@@ -451,6 +487,8 @@ class Trainer:
         pending: Dict[str, jax.Array] = {}
         stepno = int(jax.device_get(state.step))
         last_log = stepno
+        next_log = _next_multiple(stepno, t.log_every)
+        next_eval = _next_multiple(stepno, t.eval_every)
         indices = ds.index_batches(t.batch_size, seed=t.seed)
         log.info("training (device-resident) from step %d to %d over %s",
                  stepno, max_steps, self.mesh)
@@ -495,10 +533,11 @@ class Trainer:
                 profiling = True
                 log.info("profiler trace started (steps %d..%d)",
                          stepno, profile_until)
-            state, pending, off_dev = step(state, seg_dev, off_dev,
-                                           dev_arrays)
-            seg_off += k
-            stepno += k
+            k_eff = min(k, max_steps - stepno)
+            state, pending, off_dev = step_for(k_eff)(state, seg_dev,
+                                                      off_dev, dev_arrays)
+            seg_off += k_eff
+            stepno += k_eff
             if profiling and stepno >= profile_until:
                 # device_get (not block_until_ready: broken under the
                 # axon relay) forces completion before the trace closes.
@@ -507,7 +546,8 @@ class Trainer:
                 profiling = False
                 log.info("profiler trace written to %s/profile",
                          self.train_dir)
-            if stepno % t.log_every < k or stepno >= max_steps:
+            if stepno >= next_log or stepno >= max_steps:
+                next_log = _next_multiple(stepno, t.log_every)
                 # ONE combined fetch (each get = one ~35 ms relay trip).
                 m = {key: float(v)
                      for key, v in jax.device_get(pending).items()}
@@ -521,7 +561,8 @@ class Trainer:
                          m.get("accuracy", float("nan")),
                          m["questions_per_sec"])
             if (eval_ds is not None or eval_batches_fn is not None) \
-                    and stepno % t.eval_every < k:
+                    and stepno >= next_eval:
+                next_eval = _next_multiple(stepno, t.eval_every)
                 if eval_ds is not None:
                     eval_metrics, _ = resident_eval(state)
                 else:
