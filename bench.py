@@ -1,21 +1,39 @@
 """Benchmark: honest end-to-end training throughput on real hardware.
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 North-star metric (BASELINE.json): VQA v2 questions/sec/chip at global batch
-256. Unlike the round-1 bench (32 repeats of ONE device-resident batch — a
-compute ceiling), this drives the PRODUCT path end-to-end: a multi-batch
-corpus in the production layout (deduplicated f16 feature store + question
-table, data/datasets.synthetic_vqa_joined) trained through the shared
-``Trainer.fit_resident`` loop — per-step index generation, host->device
-index upload, two-level on-device feature join, train step, metric
+256. This drives the PRODUCT path end-to-end: a multi-batch corpus in the
+production layout (deduplicated f16 feature store + question table,
+data/datasets.synthetic_vqa_joined) trained through the shared
+``Trainer.fit_resident`` loop — resident index-table segments, two-level
+on-device feature join, gather-free resident attention, train step, metric
 fetch/logging cadence. Throughput is read from the trainer's own logged
-windows (first window discarded: compile).
+128-step windows.
 
-``vs_baseline`` compares against BENCH_r01's 53,966 q/s/chip compute
-CEILING (not the weaker round-1 pipeline number), so >1.0 means the full
-pipeline now beats last round's best-case kernel-only measurement.
+Driver-provability (round-3 redesign; round-2's run timed out with NO
+output, BENCH_r02.json rc=124):
+
+- **Watchdog**: a ``signal.alarm`` (default 500 s, ``BENCH_WATCHDOG_SECS``)
+  emits the JSON line from whatever steady windows exist at that moment —
+  a partial measurement beats a silent timeout. ``"partial": true`` marks
+  watchdog emissions.
+- **Statistics**: value = trimmed mean (min/max dropped) of the steady
+  windows (first window discarded: it carries jit compile + upload);
+  ``windows_qps_per_chip`` lists every window so the spread is visible;
+  ``best_window_qps_per_chip`` is the most contention-free window — the
+  stable secondary number on a link with ±30% relay variance (BASELINE.md).
+- **Cold start**: no separately-compiled resident evaluator (opt back in
+  with ``BENCH_EVAL=1``); persistent compilation cache; progress on stderr
+  from the first line.
+
+``vs_baseline`` semantics — FIXED from round 2 onward: the denominator is
+the round-1 single-batch compute CEILING of 53,966 q/s/chip (the best
+kernel-only number round 1 produced), so >1.0 means the full end-to-end
+pipeline beats last round's best-case measurement. Round 1's BENCH_r01
+used its own first measurement (28,466) as denominator; do not compare
+``vs_baseline`` across r01/r02.
 
 The reference never published throughput (BASELINE.md).
 """
@@ -24,6 +42,8 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
 import tempfile
 import time
 
@@ -36,12 +56,67 @@ import jax
 import numpy as np
 
 # BENCH_r01 recorded ceiling on 1x TPU v5e (questions/sec/chip, batch 256,
-# single resident batch, compute only) — the bar the end-to-end pipeline
-# number is measured against.
+# single resident batch, compute only) — the FIXED bar every round's
+# end-to-end pipeline number is measured against (see module docstring).
 ROUND1_CEILING = 53966.0
+
+# Profiled device-only step time (ms) for the flagship resident config at
+# batch 256 on 1x v5e — jax.profiler trace 2026-08-17 (BASELINE.md). Not a
+# measurement of THIS run; recorded so the JSON carries the stable
+# compute-ceiling context next to the noisy wall number.
+DEVICE_STEP_MS_PROFILED = 3.63
+
+_t0 = time.time()
+
+
+def _note(msg: str) -> None:
+    print(f"[bench +{time.time() - _t0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _read_windows(train_dir: str) -> list:
+    qps = []
+    path = os.path.join(train_dir, "metrics.jsonl")
+    if not os.path.exists(path):
+        return qps
+    with open(path) as fh:
+        for line in fh:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:  # partial line mid-write
+                continue
+            if "train/questions_per_sec" in rec:
+                qps.append(rec["train/questions_per_sec"])
+    return qps
+
+
+def _emit(train_dir: str, n_chips: int, batch_size: int,
+          partial: bool) -> None:
+    qps_windows = _read_windows(train_dir)
+    # First window carries jit compile + dataset upload; the rest are
+    # steady-state pipeline throughput.
+    steady = qps_windows[1:] or qps_windows
+    per_chip = sorted(float(q) / n_chips for q in steady)
+    trimmed = per_chip[1:-1] if len(per_chip) >= 4 else per_chip
+    value = float(np.mean(trimmed)) if trimmed else 0.0
+    print(json.dumps({
+        "metric": "vqa_e2e_train_questions_per_sec_per_chip_b256",
+        "value": round(value, 2),
+        "unit": "questions/sec/chip",
+        "vs_baseline": round(value / ROUND1_CEILING, 4),
+        "best_window_qps_per_chip": round(per_chip[-1], 2) if per_chip
+        else 0.0,
+        "windows_qps_per_chip": [round(q, 1) for q in per_chip],
+        "device_step_ms_profiled": DEVICE_STEP_MS_PROFILED,
+        "batch_size": batch_size,
+        "partial": partial,
+    }), flush=True)
 
 
 def main() -> None:
+    watchdog = int(os.environ.get("BENCH_WATCHDOG_SECS", "500"))
+    _note(f"start: backend probe next; watchdog={watchdog}s")
+
     from vqa_transfer_externaldata_tpu.config import Config
     from vqa_transfer_externaldata_tpu.data.datasets import (
         synthetic_vqa_joined)
@@ -51,7 +126,7 @@ def main() -> None:
     on_tpu = jax.default_backend() != "cpu"
     batch_size = 256 if on_tpu else 32
     window = 128 if on_tpu else 3
-    n_windows = 4
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "8" if on_tpu else "4"))
     overrides = {
         "data.synthetic": True,
         "train.batch_size": batch_size,
@@ -69,6 +144,9 @@ def main() -> None:
         # (scalar-prefetch kernels): device step 5.09 -> 3.63 ms profiled.
         "train.resident_fused_attention": True,
     }
+    if os.environ.get("BENCH_PROFILE"):
+        overrides["train.profile_start"] = window  # skip the compile window
+        overrides["train.profile_steps"] = int(os.environ["BENCH_PROFILE"])
     if not on_tpu:  # CPU smoke: shrink so the bench still runs anywhere
         overrides.update({
             "data.vocab_size": 256, "data.num_answers": 64,
@@ -77,52 +155,53 @@ def main() -> None:
             "model.att_hidden": 64, "model.dtype": "float32",
         })
     cfg = Config().replace_flat(overrides)
+    _note(f"backend={jax.default_backend()} devices={jax.device_count()} "
+          f"batch={batch_size} window={window} n_windows={n_windows}")
 
     n_questions = 4096 if on_tpu else 256
     n_images = 512 if on_tpu else 32
     ds = synthetic_vqa_joined(cfg, n_questions=n_questions,
                               n_images=n_images, seed=0)
+    _note(f"dataset ready: {len(ds)} questions / {n_images} images")
 
     spec = build_model(cfg)
     train_dir = tempfile.mkdtemp(prefix="bench_")
     trainer = Trainer(cfg, spec, train_dir=train_dir)
-    state = trainer.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
-    state = trainer.fit_resident(ds, state)
-
-    qps_windows = []
-    with open(os.path.join(train_dir, "metrics.jsonl")) as fh:
-        for line in fh:
-            rec = json.loads(line)
-            if "train/questions_per_sec" in rec:
-                qps_windows.append(rec["train/questions_per_sec"])
-    # First window carries jit compile + dataset upload; the rest are
-    # steady-state pipeline throughput.
-    steady = qps_windows[1:] or qps_windows
     n_chips = trainer.mesh.devices.size
-    qps_per_chip = float(np.median(steady)) / n_chips
+    _note(f"trainer ready (train_dir={train_dir})")
 
-    # Secondary (stderr, recorded in BASELINE.md): full-split eval q/s
-    # through the device-resident evaluator.
-    eval_fn = trainer._make_resident_evaluator(ds)
-    eval_fn(state)  # compile + warm
-    t0 = time.perf_counter()
-    metrics, _ = eval_fn(state)
-    dt = time.perf_counter() - t0
-    eval_qps = len(ds) / dt / n_chips
-    import sys
+    # Watchdog: from here on a timeout still produces the JSON line (from
+    # however many windows completed), instead of rc=124 with no output.
+    def on_alarm(signum, frame):
+        _note("WATCHDOG fired — emitting partial result")
+        _emit(train_dir, n_chips, batch_size, partial=True)
+        os._exit(0)
 
-    print(f"eval(resident full split): {eval_qps:,.0f} q/s/chip "
-          f"({len(ds)} rows in {dt * 1e3:.1f} ms)  acc={metrics.get('accuracy', float('nan')):.4f}",
-          file=sys.stderr)
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(max(1, watchdog - int(time.time() - _t0)))
+
+    state = trainer.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    _note("state initialized; entering fit_resident (first window = "
+          "compile + upload)")
+    state = trainer.fit_resident(ds, state)
+    _note("training done")
+
+    if os.environ.get("BENCH_EVAL"):
+        # Secondary (stderr, recorded in BASELINE.md): full-split eval q/s
+        # through the device-resident evaluator. Off by default — its
+        # separate compile dominated round-2's cold-start wall time.
+        eval_fn = trainer._make_resident_evaluator(ds)
+        eval_fn(state)  # compile + warm
+        t0 = time.perf_counter()
+        metrics, _ = eval_fn(state)
+        dt = time.perf_counter() - t0
+        _note(f"eval(resident full split): {len(ds) / dt / n_chips:,.0f} "
+              f"q/s/chip ({len(ds)} rows in {dt * 1e3:.1f} ms)  "
+              f"acc={metrics.get('accuracy', float('nan')):.4f}")
     trainer.close()
 
-    vs = qps_per_chip / ROUND1_CEILING
-    print(json.dumps({
-        "metric": "vqa_e2e_train_questions_per_sec_per_chip_b256",
-        "value": round(qps_per_chip, 2),
-        "unit": "questions/sec/chip",
-        "vs_baseline": round(vs, 4),
-    }))
+    signal.alarm(0)
+    _emit(train_dir, n_chips, batch_size, partial=False)
 
 
 if __name__ == "__main__":

@@ -78,3 +78,45 @@ def test_store_cotangent_is_zero(data):
 
     g = jax.grad(loss)(padded)
     assert not np.asarray(g).any()
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_shard_map_matches_direct(data, normalize, eight_cpu_devices):
+    """mesh/data_axis: the op under jax.shard_map (store replicated,
+    rows/qh sharded, per-device B/8 grids, psum'd dwv/dws via the
+    shard_map transpose) == the direct single-program op — forward AND
+    gradients. This is the multi-chip execution contract
+    (ops/attention_resident module docstring)."""
+    store, rows, qh, wv, ws, N = data
+    padded = jnp.asarray(pad_store_rows(store))
+    mesh = jax.sharding.Mesh(np.array(eight_cpu_devices[:2]), ("data",))
+
+    def loss(fn, qh, wv, ws):
+        va, al = fn(qh, wv, ws)
+        return jnp.sum(va ** 2) + jnp.sum(al ** 3)
+
+    def direct(qh, wv, ws):
+        return spatial_attention_resident(
+            padded, jnp.asarray(rows), qh, wv, ws, n_valid=N,
+            normalize=normalize, interpret=True)
+
+    def sharded(qh, wv, ws):
+        return spatial_attention_resident(
+            padded, jnp.asarray(rows), qh, wv, ws, n_valid=N,
+            normalize=normalize, interpret=True, mesh=mesh,
+            data_axis="data")
+
+    args = (jnp.asarray(qh), jnp.asarray(wv), jnp.asarray(ws))
+    va_d, al_d = direct(*args)
+    va_s, al_s = jax.jit(sharded)(*args)
+    np.testing.assert_allclose(np.asarray(va_s), np.asarray(va_d),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(al_s), np.asarray(al_d),
+                               rtol=1e-5, atol=1e-6)
+
+    g_d = jax.grad(lambda *a: loss(direct, *a), argnums=(0, 1, 2))(*args)
+    g_s = jax.jit(jax.grad(lambda *a: loss(sharded, *a),
+                           argnums=(0, 1, 2)))(*args)
+    for name, a, b in zip(("dqh", "dwv", "dws"), g_s, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)

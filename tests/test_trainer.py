@@ -468,7 +468,11 @@ def test_resident_fused_attention_matches_gather(tiny_config, tmp_path,
 
     base = tiny_config.replace_flat({"model.model": "vqa_attention",
                                      "model.dropout": 0.0,
-                                     "model.dtype": "float32"})
+                                     "model.dtype": "float32",
+                                     # 8 questions PER DEVICE on the
+                                     # 8-device mesh: the fused op runs
+                                     # under shard_map (local B % 8 == 0).
+                                     "train.batch_size": 64})
     d = base.data
     rng = np.random.default_rng(1)
     M, n = 16, 128
@@ -498,6 +502,11 @@ def test_resident_fused_attention_matches_gather(tiny_config, tmp_path,
         assert spec.module.n_cells == d.grid_h * d.grid_w
         ds = joined()
         tr = Trainer(cfg, spec, train_dir=str(tmp_path / f"f{fused}"))
+        # the fused mode must actually engage (not fall back to gather)
+        data, _, _ = tr._prepare_resident(ds)
+        assert ("grid_pad" in data) == fused
+        if fused:  # multi-device data axis: shard_map mesh threaded in
+            assert tr.spec.module.data_mesh == tr.mesh
         s = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
         s = tr.fit_resident(ds, s, max_steps=6)
         m, p = tr.evaluate_resident(s, joined())

@@ -56,6 +56,11 @@ class VQAAttentionModel(nn.Module):
     # True grid-cell count when ``features`` is a (store, rows) tuple
     # (the store's cell axis is padded to a sublane multiple).
     n_cells: Optional[int] = None
+    # Set by the Trainer on a >1-device data axis: the resident attention
+    # op wraps itself in jax.shard_map over this mesh/axis so each device
+    # runs its own scalar-prefetch grid (ops/attention_resident docstring).
+    data_mesh: Optional[Any] = None
+    data_axis_name: str = "data"
     word_init: Optional[np.ndarray] = None  # [vocab, word_dim] GloVe
     answer_init: Optional[np.ndarray] = None  # [answers, answer_dim]
 
@@ -110,7 +115,8 @@ class VQAAttentionModel(nn.Module):
                 v_att, alpha = spatial_attention_resident(
                     store.astype(dt), feat_rows, qh, wv, ws,
                     n_valid=self.n_cells or store.shape[1],
-                    normalize=self.normalize_v)
+                    normalize=self.normalize_v,
+                    mesh=self.data_mesh, data_axis=self.data_axis_name)
             else:
                 # Mode-dependent forward dispatch (measured on v5e, batch
                 # 256): the Pallas streaming kernel wins forward-only

@@ -20,20 +20,28 @@ Math is identical to ops/attention.spatial_attention with
 ``normalize=True/False`` in the scale-after-matmul convention; parity is
 tested against it in interpret mode and on hardware.
 
-Multi-chip: under jit+GSPMD the custom call partitions conservatively —
-the store is replicated (it is replicated in HBM anyway on the
-data-parallel mesh) and the batch-sharded qh/rows/g operands follow
-GSPMD's custom-call handling; the 8-device-mesh trainer parity test
-(tests/test_trainer.py::test_resident_fused_attention_matches_gather)
-pins the semantics. For multi-chip peak efficiency wrap the op in
-shard_map over the data axis (each shard runs its own B/n grid) — not
-needed on the single-chip bench target.
+Multi-chip: pass ``mesh``/``data_axis`` and the op wraps itself in
+``jax.shard_map`` over the data axis — each device runs its own
+B/n-question grid against its full replicated store copy, which is the
+canonical way to run a Mosaic custom call on a multi-chip mesh (GSPMD has
+no partitioning rule for it and would otherwise replicate or fail to
+compile the batch-sharded operands). The backward's dwv/dws are per-shard
+partial sums; shard_map's transpose of the replicated ``P()`` inputs
+inserts the cross-device psum automatically. The local batch B/n must be
+a multiple of 8 (``parallel.trainer._prepare_resident`` gates the fused
+mode off otherwise). Parity is pinned on the fake 8-device mesh at the
+op level (fwd + grads,
+tests/test_attention_resident.py::test_shard_map_matches_direct) and
+through the trainer
+(tests/test_trainer.py::test_resident_fused_attention_matches_gather);
+the driver's multi-chip artifact runs it via
+``__graft_entry__.dryrun_multichip``.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -328,11 +336,26 @@ def spatial_attention_resident(
     n_valid: int,  # true cell count (<= Np; rest masked)
     normalize: bool = False,
     interpret: bool | None = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-free attention: returns (v_att [B, C] f32,
     alpha [B, n_valid] f32). Gradients flow to qh/wv/w_score only (the
-    store is data)."""
+    store is data). With ``mesh``/``data_axis`` (>1 device on the axis)
+    the op runs under ``jax.shard_map``: store/wv/w_score replicated,
+    rows/qh/outputs sharded on the data axis, each shard its own B/n
+    grid (see module docstring)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _make_fused(n_valid, normalize, interpret)(
-        store, rows, qh, wv, w_score)
+    fused = _make_fused(n_valid, normalize, interpret)
+    if mesh is not None and data_axis is not None \
+            and mesh.shape[data_axis] > 1:
+        P = jax.sharding.PartitionSpec
+        fused = jax.shard_map(
+            fused, mesh=mesh,
+            in_specs=(P(), P(data_axis), P(data_axis), P(), P()),
+            out_specs=(P(data_axis), P(data_axis)),
+            # The body is a custom_vjp call; skip the varying-axes check
+            # (the specs above state the replication contract explicitly).
+            check_vma=False)
+    return fused(store, rows, qh, wv, w_score)

@@ -114,6 +114,17 @@ class Trainer:
             raise ValueError(
                 f"global batch_size={cfg.train.batch_size} must be divisible "
                 f"by the data-axis size {n_data} of {self.mesh}")
+        if n_data > 1 and getattr(spec.module, "data_mesh", "no") is None:
+            # Multi-device data axis: hand the model the mesh so the
+            # resident attention op runs under shard_map (each device its
+            # own scalar-prefetch grid — GSPMD cannot partition the Mosaic
+            # custom call itself; ops/attention_resident docstring).
+            import dataclasses
+
+            self.spec = spec = dataclasses.replace(
+                spec, module=spec.module.clone(
+                    data_mesh=self.mesh,
+                    data_axis_name=self.mesh.axis_names[0]))
         self.tx, self.lr_fn = make_optimizer(cfg)
         self.train_dir = train_dir or cfg.train.train_dir
         self.ckpt = CheckpointManager(
@@ -621,17 +632,20 @@ class Trainer:
             grid_c = store["features"]
             C2 = grid_c.shape[-1]
             on_tpu = jax.default_backend() == "tpu"
+            # On a >1-device data axis the op runs under shard_map, so the
+            # PER-DEVICE batch must hit the kernel's 8-question window.
+            n_data = self.mesh.shape[self.mesh.axis_names[0]]
             fused_att = (self.cfg.train.resident_fused_attention
                          and getattr(self.spec.module, "n_cells", None)
                          and getattr(self.spec.module, "glimpses", 1) == 1
-                         and self.cfg.train.batch_size % 8 == 0
+                         and self.cfg.train.batch_size % (8 * n_data) == 0
                          and (not on_tpu or C2 % 128 == 0))
             if self.cfg.train.resident_fused_attention and not fused_att:
                 log.warning(
                     "resident_fused_attention requested but unavailable "
-                    "(needs single-glimpse vqa_attention, batch %% 8 == 0, "
-                    "feature_dim %% 128 == 0 on TPU) — using the gathered "
-                    "resident path")
+                    "(needs single-glimpse vqa_attention, batch %% "
+                    "(8 * data-axis devices) == 0, feature_dim %% 128 == 0 "
+                    "on TPU) — using the gathered resident path")
             n_planes = 0
             if fused_att:
                 # Gather-free mode: ONE padded store; the attention
