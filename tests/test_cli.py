@@ -119,3 +119,82 @@ def test_eval_cli_resident_matches_streaming(tmp_path):
     assert set(m_res) == set(m_stream)
     for k in m_stream:
         assert abs(m_res[k] - m_stream[k]) < 1e-4, (k, m_res[k], m_stream[k])
+
+
+def test_end2end_grain_pipeline_exact_resume(tmp_path):
+    """--data.input_pipeline grain (SURVEY section 7 step 7, round-2
+    VERDICT item 5): the raw-JPEG end2end path trains through the grain
+    pipeline, the iterator state is checkpointed alongside Orbax, and a
+    mid-epoch resume continues on the EXACT next sample — params after
+    4+2 resumed steps equal an uninterrupted 6-step run bitwise."""
+    import numpy as np
+    from PIL import Image
+
+    from vqa_transfer_externaldata_tpu.data.ingest import coco_image_path
+
+    rng = np.random.default_rng(0)
+    n, n_img, T, size = 64, 16, 6, 64
+    image_dir = tmp_path / "images"
+    image_dir.mkdir()
+    for i in range(n_img):
+        Image.fromarray(rng.integers(0, 256, size=(size, size, 3))
+                        .astype(np.uint8)).save(
+            coco_image_path(str(image_dir), "train2014", i), quality=90)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    np.savez(data_dir / "vqa_train.npz",
+             q_ids=rng.integers(4, 64, size=(n, T)).astype(np.int32),
+             answer_id=rng.integers(4, 16, size=n).astype(np.int32),
+             image_index=rng.integers(0, n_img, size=n).astype(np.int32))
+    np.save(data_dir / "image_ids.npy", np.arange(n_img, dtype=np.int64))
+
+    base = [
+        "--data.dataset_dir", str(data_dir),
+        "--data.image_dir", str(image_dir),
+        "--data.input_pipeline", "grain",
+        "--data.image_size", str(size),
+        "--data.vocab_size", "64", "--data.num_answers", "16",
+        "--data.grid_h", "2", "--data.grid_w", "2",
+        "--data.max_question_len", str(T),
+        "--model.model", "vqa_end2end",
+        "--model.resnet_stages", "1,1,1,1", "--model.resnet_width", "8",
+        "--model.word_dim", "8", "--model.rnn_dim", "8",
+        "--model.fusion_dim", "16", "--model.att_hidden", "8",
+        "--model.answer_dim", "8", "--model.dtype", "float32",
+        "--model.dropout", "0.0",
+        "--train.batch_size", "8", "--train.log_every", "2",
+        "--train.eval_every", "10000", "--train.checkpoint_every", "2",
+        "--train.warmup_steps", "1",
+    ]
+
+    def final_params(train_dir):
+        from vqa_transfer_externaldata_tpu.utils.checkpoint import (
+            load_params)
+
+        return load_params(os.path.join(train_dir, "params_final"))["params"]
+
+    # Oracle: 6 uninterrupted steps.
+    dir_a = train_cli.main(base + [
+        "--train.max_steps", "6",
+        "--train.train_dir", str(tmp_path / "uninterrupted")])
+
+    # Interrupted: 4 steps, then resume to 6 in the same train_dir.
+    dir_b = train_cli.main(base + [
+        "--train.max_steps", "4",
+        "--train.train_dir", str(tmp_path / "resumed")])
+    assert os.path.exists(os.path.join(dir_b, "ckpt", "data_iter_4.json"))
+    dir_b2 = train_cli.main(base + [
+        "--train.max_steps", "6",
+        "--train.train_dir", str(tmp_path / "resumed")])
+    assert dir_b2 == dir_b
+
+    import jax
+
+    pa = final_params(dir_a)
+    pb = final_params(dir_b)
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(pa),
+                              jax.tree_util.tree_leaves_with_path(pb)):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"{jax.tree_util.keystr(k)}: mid-epoch resume drifted "
+                    f"off the uninterrupted data stream")

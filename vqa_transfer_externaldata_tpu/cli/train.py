@@ -83,8 +83,10 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
         log.info("answer-embedding transfer init applied from %s",
                  cfg.train.pretrained_param_path)
 
+    resumed = False
     if cfg.train.resume and trainer.ckpt.latest_step() is not None:
         state = trainer.restore(state)
+        resumed = True
         log.info("resumed from step %d", int(jax.device_get(state.step)))
 
     eval_fn = None
@@ -93,7 +95,27 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
     from vqa_transfer_externaldata_tpu.data.datasets import ArrayDataset
     from vqa_transfer_externaldata_tpu.data.features import JoinedDataset
 
-    if cfg.train.device_data_cache and (
+    if cfg.data.input_pipeline == "grain":
+        # Deterministic, checkpointable grain pipeline (SURVEY.md section
+        # 7 step 7 — the config-5 production input): per-epoch shuffle +
+        # (optionally multi-process) decode; the iterator state persists
+        # next to each Orbax checkpoint so resume is sample-exact.
+        from vqa_transfer_externaldata_tpu.data.grain_loader import (
+            GrainTrainIterator)
+
+        if cfg.train.device_data_cache:
+            log.warning("input_pipeline=grain streams batches; "
+                        "device_data_cache is ignored")
+        train_iter = GrainTrainIterator(
+            train_ds, batch_size=cfg.train.batch_size, seed=cfg.train.seed,
+            workers=cfg.data.grain_workers)
+        if resumed:
+            it_state = trainer.ckpt.restore_data_iter()
+            if it_state is not None:
+                train_iter.set_state(it_state)
+                log.info("grain iterator state restored: %s", it_state)
+        state = trainer.fit(train_iter, state, eval_batches_fn=eval_fn)
+    elif cfg.train.device_data_cache and (
             type(train_ds) is ArrayDataset
             or isinstance(train_ds, JoinedDataset)):
         # Whole dataset uploaded once (for JoinedDataset: question table +

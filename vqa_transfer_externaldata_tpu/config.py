@@ -43,6 +43,18 @@ class DataConfig:
     # vlmap: redraw same-task negatives each batch (vs the fixed
     # preprocessing-time candidate sets).
     resample_negatives: bool = True
+    # Raw-image (end2end, BASELINE config 5) inputs: JPEG directory joined
+    # against the question table's image_ids (official COCO naming).
+    image_dir: str = ""
+    coco_split: str = "train2014"
+    # "threads" (in-repo thread-pool decode, data/ingest.py) or "grain"
+    # (deterministic, checkpointable grain pipeline — iterator state is
+    # saved alongside each Orbax checkpoint so resume is sample-exact;
+    # data/grain_loader.py).
+    input_pipeline: str = "threads"
+    # grain only: >0 runs decode in this many worker processes
+    # (grain mp_prefetch); 0 decodes in-process.
+    grain_workers: int = 0
     # Synthetic-data mode (tests / benchmarking without the real corpora).
     synthetic: bool = False
     synthetic_size: int = 1024
@@ -65,6 +77,13 @@ class ModelConfig:
     # "cudnn" (TPU-fused, default) or "tf" (TF1-GRUCell-exact gate math
     # for reference-checkpoint fidelity, ops/gru.TFGRUEncoder)
     rnn_variant: str = "cudnn"
+    # Reference-convention fidelity assembly (SURVEY.md section 7 hard
+    # part (a)): forces the TF1-exact GRU, float32 compute and the XLA
+    # (non-Pallas) attention forward — the drop-in target for ported
+    # reference checkpoints. The FULL forward under this flag is
+    # golden-tested against an independent straight-line numpy
+    # reimplementation (utils/fidelity.reference_forward_numpy).
+    fidelity_mode: bool = False
     # vqa_end2end (raw-image) backbone: torchvision-format resnet101
     # state_dict (.pth) loaded into params/batch_stats at init — without it
     # the frozen extractor is RANDOM and real-data training is useless.

@@ -453,6 +453,26 @@ def load_dataset(cfg: Config, split: str, stage: str = "vqa",
                 f"(data/vqa_v2.py, data/visualgenome.py) or set "
                 f"--data.synthetic true")
     ds = ArrayDataset.load(path)
+    if (stage == "vqa" and cfg.model.model == "vqa_end2end"
+            and cfg.data.image_dir):
+        # Raw-image (config 5) inputs: join the question table against the
+        # COCO JPEGs by image_index -> image_ids (the per-store-row id list
+        # written by the extraction/preprocessing tools as image_ids.npy
+        # in dataset_dir). Decode runs in the input pipeline (threads or
+        # grain, per data.input_pipeline).
+        from vqa_transfer_externaldata_tpu.data.ingest import (
+            ImageQuestionDataset, coco_image_path)
+
+        ids_path = os.path.join(cfg.data.dataset_dir, "image_ids.npy")
+        if not os.path.exists(ids_path):
+            raise FileNotFoundError(
+                f"end2end with data.image_dir needs {ids_path} (store-row "
+                f"-> COCO image id, written by the extraction tool)")
+        image_ids = np.load(ids_path)
+        paths = [coco_image_path(cfg.data.image_dir, cfg.data.coco_split,
+                                 int(i)) for i in image_ids]
+        return ImageQuestionDataset(dict(ds.arrays), paths,
+                                    image_size=cfg.data.image_size)
     if cfg.data.feature_path:
         from vqa_transfer_externaldata_tpu.data.features import (
             FeatureStore, JoinedDataset)

@@ -59,3 +59,62 @@ def make_grain_dataset(arrays: Dict[str, np.ndarray],
         ds = ds.repeat(num_epochs)
     ds = ds.batch(batch_size, drop_remainder=True)
     return ds
+
+
+class _ArraySource:
+    """Random-access grain source over a plain row table (no decode)."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray]) -> None:
+        self.arrays = arrays
+        self._n = next(iter(arrays.values())).shape[0]
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        return {k: v[i] for k, v in self.arrays.items()}
+
+
+class GrainTrainIterator:
+    """Checkpointable infinite train iterator (``--data.input_pipeline
+    grain``): source -> per-epoch shuffle -> repeat -> batch, backed by
+    grain's deterministic index iterator. ``get_state()`` returns a
+    JSON-serializable dict that the Trainer persists next to each Orbax
+    checkpoint (utils/checkpoint.CheckpointManager.save_data_iter), so a
+    resumed run continues on the EXACT next sample — the reference had no
+    such capability (a restart replays data, SURVEY.md section 5
+    failure-detection row).
+
+    ``workers > 0`` moves decode into that many grain worker processes
+    (``mp_prefetch``); the iterator state protocol is identical.
+    """
+
+    def __init__(self, dataset, *, batch_size: int, seed: int,
+                 workers: int = 0) -> None:
+        arrays = {k: np.asarray(v) for k, v in dataset.arrays.items()}
+        if hasattr(dataset, "image_paths"):  # raw-JPEG (end2end) source
+            source = _QuestionImageSource(arrays, dataset.image_paths,
+                                          dataset.image_size)
+        else:
+            source = _ArraySource(arrays)
+        ds = (grain.MapDataset.source(source)
+              .shuffle(seed=seed)
+              .repeat(None)  # infinite: the trainer bounds by max_steps
+              .batch(batch_size, drop_remainder=True))
+        it_ds = ds.to_iter_dataset()
+        if workers > 0:
+            it_ds = it_ds.mp_prefetch(
+                grain.MultiprocessingOptions(num_workers=workers))
+        self._it = iter(it_ds)
+
+    def __iter__(self) -> "GrainTrainIterator":
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        return {k: np.asarray(v) for k, v in next(self._it).items()}
+
+    def get_state(self) -> dict:
+        return self._it.get_state()
+
+    def set_state(self, state: dict) -> None:
+        self._it.set_state(state)

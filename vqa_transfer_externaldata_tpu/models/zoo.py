@@ -43,13 +43,20 @@ def build_model(cfg: Config,
     name = m.model
     if name in ("vqa_attention", "vqa_attention2"):
         glimpses = 2 if name == "vqa_attention2" else max(1, m.glimpses)
+        rnn_variant, use_pallas = m.rnn_variant, m.use_pallas
+        if m.fidelity_mode:
+            # Reference-convention assembly: TF1-exact GRU + f32 + XLA
+            # attention; full forward pinned to the numpy oracle
+            # (utils/fidelity.reference_forward_numpy, tests/test_fidelity).
+            dt, rnn_variant, use_pallas, glimpses = (
+                jnp.float32, "tf", False, 1)
         module = VQAAttentionModel(
             vocab_size=d.vocab_size, num_answers=d.num_answers,
             word_dim=m.word_dim, rnn_dim=m.rnn_dim,
             fusion_dim=m.fusion_dim, att_hidden=m.att_hidden,
             answer_dim=m.answer_dim, dropout=m.dropout, dtype=dt,
-            use_pallas=m.use_pallas, glimpses=glimpses,
-            rnn_variant=m.rnn_variant,
+            use_pallas=use_pallas, glimpses=glimpses,
+            rnn_variant=rnn_variant,
             n_cells=d.grid_h * d.grid_w,
             word_init=word_init, answer_init=answer_init)
         return ModelSpec(module,

@@ -326,7 +326,12 @@ class Trainer:
             max_steps: Optional[int] = None) -> TrainState:
         t = self.cfg.train
         max_steps = max_steps if max_steps is not None else t.max_steps
-        if t.prefetch_batches > 0:
+        # Checkpointable input pipelines (grain): their state is persisted
+        # next to each Orbax checkpoint so resume is sample-exact. A
+        # prefetch wrapper would make get_state() overshoot by its depth
+        # (grain prefetches internally), so stateful iterators skip it.
+        stateful_input = hasattr(train_batches, "get_state")
+        if t.prefetch_batches > 0 and not stateful_input:
             from vqa_transfer_externaldata_tpu.data.datasets import (
                 PrefetchIterator)
 
@@ -395,11 +400,14 @@ class Trainer:
                 self.metrics.write(step, eval_metrics, prefix="val")
                 log.info("eval @ %d: %s", step,
                          {k: round(v, 4) for k, v in eval_metrics.items()})
-            self.ckpt.save(step, state)
+            if self.ckpt.save(step, state) and stateful_input:
+                self.ckpt.save_data_iter(step, train_batches.get_state())
         self.ckpt.wait()
         final = int(jax.device_get(state.step))
         if self.ckpt.latest_step() != final:
             self.ckpt.save(final, state, force=True)
+            if stateful_input:
+                self.ckpt.save_data_iter(final, train_batches.get_state())
             self.ckpt.wait()
         return state
 

@@ -57,6 +57,32 @@ class CheckpointManager:
         return self._mngr.restore(step,
                                   args=ocp.args.StandardRestore(abstract))
 
+    def save_data_iter(self, step: int, state: Dict) -> None:
+        """Persist a (JSON-serializable) input-iterator state next to the
+        ``step`` checkpoint — written synchronously (it is tiny) so a
+        resumed run continues on the exact next sample (grain pipelines;
+        data/grain_loader.GrainTrainIterator)."""
+        import json
+
+        path = os.path.join(self.directory, f"data_iter_{step}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, path)
+
+    def restore_data_iter(self, step: Optional[int] = None) -> Optional[Dict]:
+        """Iterator state saved at ``step`` (default: latest), or None."""
+        import json
+
+        step = self._mngr.latest_step() if step is None else step
+        if step is None:
+            return None
+        path = os.path.join(self.directory, f"data_iter_{step}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
     def wait(self) -> None:
         self._mngr.wait_until_finished()
 

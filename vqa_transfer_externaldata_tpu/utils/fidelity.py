@@ -55,6 +55,92 @@ def worst_deviation(report: Dict[str, Dict[str, float]]) -> Tuple[str, float]:
     return worst_name, worst
 
 
+def reference_forward_numpy(params: Dict[str, Any],
+                            features: np.ndarray,
+                            q_ids: np.ndarray) -> np.ndarray:
+    """Independent straight-line numpy reimplementation of the ENTIRE
+    reference-convention VQA forward (``model.fidelity_mode``): GloVe
+    embedding lookup -> TF1-GRUCell question encoder -> L2-normalized
+    single-glimpse spatial attention -> gated-tanh fusion -> cosine
+    answer-embedding classifier.
+
+    This is the oracle for SURVEY.md section 7 hard part (a): when the
+    reference checkpoints become portable, their weights load into the
+    fidelity-mode flax model, and THIS function (sharing no code with the
+    flax/Pallas stack — pure numpy in float64) defines what the assembled
+    math must produce. tests/test_fidelity.py pins the flax forward to it
+    at f32 tolerance.
+
+    ``params``: the fidelity-mode model's param tree. ``features``
+    [B, N, C] gathered grid; ``q_ids`` [B, T] int32 (<pad>=0).
+    Returns logits [B, num_answers] float64.
+    """
+    f64 = np.float64
+
+    def sig(a):
+        return 1.0 / (1.0 + np.exp(-a))
+
+    def l2n(a):  # ops/layers.l2_normalize convention: sqrt(sum + eps)
+        return a / np.sqrt(np.sum(a * a, -1, keepdims=True) + 1e-12)
+
+    # --- question encoder: embedding + TF1 GRUCell (ops/gru.TFGRUEncoder
+    # conventions: packed [x, h] kernels, gate bias init 1.0, reset gate
+    # multiplies h BEFORE the candidate matmul, h' = z*h + (1-z)*c) ------
+    table = np.asarray(params["word_emb"]["embedding"], f64)
+    x = table[np.asarray(q_ids)]
+    mask = (np.asarray(q_ids) != 0).astype(f64)
+    wg = np.asarray(params["gru"]["gates_kernel"], f64)  # [D+H, 2H]
+    bg = np.asarray(params["gru"]["gates_bias"], f64)
+    wc = np.asarray(params["gru"]["candidate_kernel"], f64)  # [D+H, H]
+    bc = np.asarray(params["gru"]["candidate_bias"], f64)
+    B, T, _ = x.shape
+    H = wc.shape[1]
+    h = np.zeros((B, H), f64)
+    for t in range(T):
+        xt = x[:, t]
+        gates = np.concatenate([xt, h], -1) @ wg + bg
+        r, z = sig(gates[:, :H]), sig(gates[:, H:])
+        c = np.tanh(np.concatenate([xt, r * h], -1) @ wc + bc)
+        h_new = z * h + (1.0 - z) * c
+        m = mask[:, t][:, None]
+        h = m * h_new + (1.0 - m) * h
+    q = h
+
+    # --- spatial attention over the grid, per-cell L2 normalization in
+    # the scale-after-matmul convention (ops/attention, normalize=True):
+    # z_n = (v_n @ Wv) * r_n + qh; s_n = relu(z_n) . ws; alpha = softmax;
+    # v_att = sum_n (alpha_n * r_n) v_n -----------------------------------
+    v = np.asarray(features, f64)  # [B, N, C]
+    qh = q @ np.asarray(params["att_q"]["kernel"], f64) \
+        + np.asarray(params["att_q"]["bias"], f64)
+    wv = np.asarray(params["att_wv"], f64)
+    ws = np.asarray(params["att_ws"], f64)
+    r_n = 1.0 / np.sqrt(np.sum(v * v, -1) + 1e-12)  # [B, N]
+    z_att = np.einsum("bnc,ch->bnh", v, wv) * r_n[:, :, None] \
+        + qh[:, None, :]
+    s = np.maximum(z_att, 0.0) @ ws  # [B, N]
+    s = s - s.max(-1, keepdims=True)
+    alpha = np.exp(s)
+    alpha = alpha / alpha.sum(-1, keepdims=True)
+    v_att = np.einsum("bn,bnc->bc", alpha * r_n, v)
+
+    # --- gated-tanh fusion + cosine answer-embedding classifier ---------
+    def gated(inp, sub):
+        y = inp @ np.asarray(sub["w"]["kernel"], f64) \
+            + np.asarray(sub["w"]["bias"], f64)
+        g = inp @ np.asarray(sub["g"]["kernel"], f64) \
+            + np.asarray(sub["g"]["bias"], f64)
+        return np.tanh(y) * sig(g)
+
+    fused = gated(q, params["fuse_q"]) * gated(v_att, params["fuse_v"])
+    zz = fused @ np.asarray(params["ans_proj"]["kernel"], f64) \
+        + np.asarray(params["ans_proj"]["bias"], f64)
+    e = l2n(np.asarray(params["answer_embedding"], f64))
+    logits = l2n(zz) @ e.T
+    return logits * float(np.asarray(params["logit_scale"])) \
+        + np.asarray(params["logit_bias"], f64)
+
+
 def logits_agree(apply_a: Callable, apply_b: Callable, batch: Any,
                  *, atol: float = 1e-4,
                  rtol: float = 1e-3) -> Tuple[bool, float]:
