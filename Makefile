@@ -6,8 +6,10 @@ PY ?= python
 
 .PHONY: test test-all native bench dryrun clean
 
-# Fast default suite (a few minutes on an 8-core box); the multi-minute
-# end-to-end runs are marked `slow` and run via `make test-all`.
+# Fast default suite. Measured 2026-08-17: ~9 min serial on THIS box
+# (nproc=1, throttled; JAX CPU compiles dominate) — a normal multi-core
+# dev box runs it in 2-3 min. The multi-minute end-to-end runs are
+# marked `slow` and run via `make test-all`.
 test:
 	$(PY) -m pytest tests/ -q -m "not slow"
 

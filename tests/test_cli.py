@@ -3,6 +3,8 @@
 import json
 import os
 
+import pytest
+
 from vqa_transfer_externaldata_tpu.cli import eval as eval_cli
 from vqa_transfer_externaldata_tpu.cli import train as train_cli
 
@@ -121,6 +123,7 @@ def test_eval_cli_resident_matches_streaming(tmp_path):
         assert abs(m_res[k] - m_stream[k]) < 1e-4, (k, m_res[k], m_stream[k])
 
 
+@pytest.mark.slow  # three end2end CLI trainings: ~2 min on the 1-CPU box
 def test_end2end_grain_pipeline_exact_resume(tmp_path):
     """--data.input_pipeline grain (SURVEY section 7 step 7, round-2
     VERDICT item 5): the raw-JPEG end2end path trains through the grain
@@ -133,7 +136,7 @@ def test_end2end_grain_pipeline_exact_resume(tmp_path):
     from vqa_transfer_externaldata_tpu.data.ingest import coco_image_path
 
     rng = np.random.default_rng(0)
-    n, n_img, T, size = 64, 16, 6, 64
+    n, n_img, T, size = 48, 8, 6, 64  # 64px / stride 32 = the 2x2 grid
     image_dir = tmp_path / "images"
     image_dir.mkdir()
     for i in range(n_img):
@@ -163,7 +166,7 @@ def test_end2end_grain_pipeline_exact_resume(tmp_path):
         "--model.answer_dim", "8", "--model.dtype", "float32",
         "--model.dropout", "0.0",
         "--train.batch_size", "8", "--train.log_every", "2",
-        "--train.eval_every", "10000", "--train.checkpoint_every", "2",
+        "--train.eval_every", "10000", "--train.checkpoint_every", "4",
         "--train.warmup_steps", "1",
     ]
 
