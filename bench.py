@@ -71,8 +71,10 @@ ROUND1_CEILING = 53966.0
 # Profiled device-only step time (ms) for the flagship resident config at
 # batch 256 on 1x v5e — jax.profiler trace 2026-08-17 (BASELINE.md). Not a
 # measurement of THIS run; recorded so the JSON carries the stable
-# compute-ceiling context next to the noisy wall number.
-DEVICE_STEP_MS_PROFILED = 3.63
+# compute-ceiling context next to the noisy wall number. 3.63 -> 3.00
+# when the resident backward began consuming the forward's saved
+# activations instead of recomputing v @ wv (ops/attention_resident).
+DEVICE_STEP_MS_PROFILED = 3.00
 
 _t0 = time.time()
 

@@ -9,7 +9,10 @@ grid row DIRECTLY from the [M, N, C] store in HBM via Mosaic scalar
 prefetch (the canonical TPU embedding-lookup pattern — the per-question
 ``rows`` vector is prefetched to SMEM and the v-block index map points at
 ``rows[i]``), so grid features cross HBM exactly once in the forward and
-once in the backward, with no [B, N, C] intermediate ever existing.
+once in the backward, with no [B, N, C] intermediate ever existing. The
+grad-path forward saves the post-relu activations h [B, Np, H] (store
+dtype; H << C) so the backward skips the v @ wv recompute — half its MXU
+work; the no-grad primal (eval) never materializes h.
 
 Shapes/limits: store [M, Np, C] with Np a multiple of 8 and C of 128
 (``pad_store_rows`` pads the 196-cell grid to 200); B a multiple of 8.
@@ -69,9 +72,9 @@ def _onehot8(k, dtype):
     return (idx == k).astype(dtype)
 
 
-def _make_fwd_kernel(n_valid: int, normalize: bool):
+def _make_fwd_kernel(n_valid: int, normalize: bool, save_h: bool):
     def kernel(rows_ref, v_ref, qh_ref, wv_ref, ws_ref,
-               vatt_ref, alpha_ref):
+               vatt_ref, alpha_ref, *maybe_h_ref):
         del rows_ref  # consumed by the v block index map
         i = pl.program_id(0)
         k = i % 8  # row within the 8-question output window
@@ -97,6 +100,12 @@ def _make_fwd_kernel(n_valid: int, normalize: bool):
             (((1,), (0,)), ((), ())),
             preferred_element_type=f32)  # [1, H]
         h = jnp.maximum(z + qh_row, 0.0)
+        if save_h:
+            # Residual for the backward (grad-path variant): storing the
+            # post-relu activations removes the backward's v @ wv
+            # recompute — half its MXU work (419 MF/question at
+            # production shape; profiled 1.54 -> ~0.8 ms/step).
+            maybe_h_ref[0][0] = h.astype(maybe_h_ref[0].dtype)
         ws_row = ws_ref[:1].astype(f32)  # [1, H]
         s = jnp.sum(h * ws_row, axis=-1, keepdims=True)  # [Np, 1]
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -115,8 +124,13 @@ def _make_fwd_kernel(n_valid: int, normalize: bool):
 
 
 def _make_bwd_kernel(n_valid: int, normalize: bool):
-    def kernel(rows_ref, v_ref, qh_ref, wv_ref, ws_ref, alpha_ref,
+    def kernel(rows_ref, v_ref, h_ref, ws_ref, alpha_ref,
                g_ref, sga_ref, dqh_ref, dwv_ref, dws_ref):
+        # The forward saved h = relu(z + qh) (grad-path variant), so this
+        # kernel needs neither wv nor qh: the relu mask is h > 0, dws
+        # reads h directly, and the v @ wv recompute — half the
+        # backward's MXU work — is gone (profiled 1.54 -> ~0.8 ms/step
+        # at production shape).
         del rows_ref
         i = pl.program_id(0)
         k = i % 8
@@ -159,16 +173,9 @@ def _make_bwd_kernel(n_valid: int, normalize: bool):
         ds = alpha_row * (dalpha + sga_row)  # [1, Np]
         ds_col = ds.reshape(Np, 1)
 
-        z = jnp.dot(v, wv_ref[:], preferred_element_type=f32)  # [Np, H]
-        if normalize:
-            z = z * r
-        qh_row = jax.lax.dot_general(  # qh block is f32 (see _resident_bwd)
-            onehot_f, qh_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
-        z = z + qh_row
-        h = jnp.maximum(z, 0.0)
+        h = h_ref[0].astype(f32)  # [Np, H] saved relu(z + qh)
         ws_row = ws_ref[:1].astype(f32)
-        dz = jnp.where(z > 0.0, ds_col * ws_row, 0.0)  # [Np, H]
+        dz = jnp.where(h > 0.0, ds_col * ws_row, 0.0)  # [Np, H]
 
         dws_ref[0:1] += jnp.sum(ds_col * h, axis=0, keepdims=True)
         dqh_ref[0] += _onehot8(k, f32) * jnp.sum(dz, axis=0,
@@ -193,9 +200,10 @@ def _check_shapes(store, rows, qh, interpret):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_valid", "normalize", "interpret"))
+                   static_argnames=("n_valid", "normalize", "interpret",
+                                    "save_h"))
 def _resident_fwd(store, rows, qh, wv, ws, *, n_valid, normalize,
-                  interpret):
+                  interpret, save_h=False):
     M, Np, C, B, H = _check_shapes(store, rows, qh, interpret)
     dt = store.dtype
     # qh stays f32: the gathered paths add the question projection to the
@@ -204,6 +212,18 @@ def _resident_fwd(store, rows, qh, wv, ws, *, n_valid, normalize,
     qh8 = qh.astype(jnp.float32).reshape(B // 8, 8, H)
     wv_c = wv.astype(dt)
     ws_rows = jnp.broadcast_to(ws.astype(dt)[None, :], (8, H))
+    out_specs = [
+        pl.BlockSpec((1, 8, C), lambda i, rows: (i // 8, 0, 0)),
+        pl.BlockSpec((1, 8, Np), lambda i, rows: (i // 8, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B // 8, 8, C), jnp.float32),
+        jax.ShapeDtypeStruct((B // 8, 8, Np), jnp.float32),
+    ]
+    if save_h:  # grad-path residual, read back by _resident_bwd
+        out_specs.append(pl.BlockSpec((1, Np, H),
+                                      lambda i, rows: (i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B, Np, H), dt))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
@@ -213,18 +233,12 @@ def _resident_fwd(store, rows, qh, wv, ws, *, n_valid, normalize,
             pl.BlockSpec((C, H), lambda i, rows: (0, 0)),
             pl.BlockSpec((8, H), lambda i, rows: (0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 8, C), lambda i, rows: (i // 8, 0, 0)),
-            pl.BlockSpec((1, 8, Np), lambda i, rows: (i // 8, 0, 0)),
-        ],
+        out_specs=out_specs,
     )
-    vatt8, alpha8 = pl.pallas_call(
-        _make_fwd_kernel(n_valid, normalize),
+    out = pl.pallas_call(
+        _make_fwd_kernel(n_valid, normalize, save_h),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B // 8, 8, C), jnp.float32),
-            jax.ShapeDtypeStruct((B // 8, 8, Np), jnp.float32),
-        ],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Np * (C * H + C),
             bytes_accessed=B * Np * C * store.dtype.itemsize,
@@ -232,17 +246,22 @@ def _resident_fwd(store, rows, qh, wv, ws, *, n_valid, normalize,
         ),
         interpret=interpret,
     )(rows.astype(jnp.int32), store, qh8, wv_c, ws_rows)
-    return vatt8.reshape(B, C), alpha8.reshape(B, Np)[:, :n_valid]
+    vatt8, alpha8 = out[0], out[1]
+    ret = (vatt8.reshape(B, C), alpha8.reshape(B, Np)[:, :n_valid])
+    return ret + (out[2],) if save_h else ret
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_valid", "normalize", "interpret"))
-def _resident_bwd(store, rows, qh, wv, ws, alpha, g, sga, *, n_valid,
+def _resident_bwd(store, rows, h, ws, alpha, g, sga, *, n_valid,
                   normalize, interpret):
-    M, Np, C, B, H = _check_shapes(store, rows, qh, interpret)
+    """Backward from the saved forward activations ``h`` [B, Np, H]
+    (store dtype) — no qh/wv operands and no z recompute (half the
+    backward's MXU work at production shape)."""
+    M, Np, C = store.shape
+    B = rows.shape[0]
+    H = h.shape[-1]
     dt = store.dtype
-    qh8 = qh.astype(jnp.float32).reshape(B // 8, 8, H)  # f32, as in fwd
-    wv_c = wv.astype(dt)
     ws_rows = jnp.broadcast_to(ws.astype(dt)[None, :], (8, H))
     alpha8 = alpha.astype(jnp.float32).reshape(B // 8, 8, Np)
     # g rides the MXU against the bf16 store for dalpha = g . v_hat —
@@ -255,8 +274,7 @@ def _resident_bwd(store, rows, qh, wv, ws, alpha, g, sga, *, n_valid,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, Np, C), lambda i, rows: (rows[i], 0, 0)),
-            pl.BlockSpec((1, 8, H), lambda i, rows: (i // 8, 0, 0)),
-            pl.BlockSpec((C, H), lambda i, rows: (0, 0)),
+            pl.BlockSpec((1, Np, H), lambda i, rows: (i, 0, 0)),
             pl.BlockSpec((8, H), lambda i, rows: (0, 0)),
             pl.BlockSpec((1, 8, Np), lambda i, rows: (i // 8, 0, 0)),
             pl.BlockSpec((1, 8, C), lambda i, rows: (i // 8, 0, 0)),
@@ -277,13 +295,12 @@ def _resident_bwd(store, rows, qh, wv, ws, alpha, g, sga, *, n_valid,
             jax.ShapeDtypeStruct((8, H), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * Np * C * H * 2,
-            bytes_accessed=B * Np * C * store.dtype.itemsize,
+            flops=2 * B * Np * C * H,
+            bytes_accessed=B * Np * (C + H) * store.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rows.astype(jnp.int32), store, qh8, wv_c, ws_rows, alpha8, g8,
-      sga8)
+    )(rows.astype(jnp.int32), store, h, ws_rows, alpha8, g8, sga8)
     return dqh8.reshape(B, H), dwv, dws[0]
 
 
@@ -295,15 +312,21 @@ def _make_fused(n_valid: int, normalize: bool, interpret: bool):
                              normalize=normalize, interpret=interpret)
 
     def fwd(store, rows, qh, wv, ws):
-        vatt, alpha = fused(store, rows, qh, wv, ws)
-        return (vatt, alpha), (store, rows, qh, wv, ws, alpha, vatt)
+        # The grad-path forward also writes h = relu(z + qh) [B, Np, H]
+        # (store dtype) so the backward skips the v @ wv recompute. The
+        # no-grad primal above (eval paths) never materializes it.
+        vatt, alpha, h = _resident_fwd(
+            store, rows, qh, wv, ws, n_valid=n_valid,
+            normalize=normalize, interpret=interpret, save_h=True)
+        # qh/wv ride along only for their dtypes (they are live params
+        # anyway — no extra memory under jit); the kernel consumes h.
+        return (vatt, alpha), (store, rows, h, qh, wv, ws, alpha, vatt)
 
     def bwd(residuals, cotangents):
-        store, rows, qh, wv, ws, alpha, vatt = residuals
+        store, rows, h, qh, wv, ws, alpha, vatt = residuals
         g, ga = cotangents
         f32 = jnp.float32
         Np = store.shape[1]
-        B = rows.shape[0]
         # S_b = g_b . vatt_b + sum alpha ga (residuals only); pack
         # (ga - S) padded to Np so the kernel applies both in one add.
         ga_f = ga.astype(f32)
@@ -315,7 +338,7 @@ def _make_fused(n_valid: int, normalize: bool, interpret: bool):
             - s[:, None]
         alpha_p = jnp.pad(alpha_f, ((0, 0), (0, Np - alpha_f.shape[1])))
         dqh, dwv, dws = _resident_bwd(
-            store, rows, qh, wv, ws, alpha_p, g.astype(f32), sga,
+            store, rows, h, ws, alpha_p, g.astype(f32), sga,
             n_valid=n_valid, normalize=normalize, interpret=interpret)
         return (jnp.zeros_like(store),
                 np.zeros(rows.shape, jax.dtypes.float0),
