@@ -105,14 +105,24 @@ def _score_candidates(z: jnp.ndarray, word_emb: jnp.ndarray,
                       candidates: jnp.ndarray, scale: jnp.ndarray
                       ) -> jnp.ndarray:
     """Scaled cosine similarity of projection ``z`` [B, D] against the
-    candidate rows [B, K] of the shared word table -> logits [B, K]."""
-    B, K = candidates.shape
-    cand_emb = jnp.take(word_emb, candidates.reshape(-1), axis=0)
-    cand_emb = cand_emb.reshape(B, K, word_emb.shape[-1])
+    candidate rows [B, K] of the shared word table -> logits [B, K].
+
+    TPU-first formulation: score the WHOLE vocab with one dense [B, D] x
+    [D, V] matmul and take_along_axis the [B, K] candidate columns —
+    identical values/gradients to gathering per-example candidate rows,
+    but the [B, K, D] intermediate (157 MB/step at production shape, the
+    old path's cost: gather + normalize + einsum + scatter-add backward,
+    all HBM-bound) never exists. Profiled on v5e at B=256, K=512,
+    V=8192: step 4.33 -> 2.42 ms. The full-vocab score matrix is only
+    [B, V] f32 (8 MB); the remaining cost is the [B, K]-from-[B, V]
+    element gather + its scatter transpose (~2 ms), which micro-swept
+    as an XLA lowering floor: sorted indices and a chunked one-hot-dot
+    dscores were no faster (2026-08-17)."""
     zn = l2_normalize(z.astype(jnp.float32))
-    en = l2_normalize(cand_emb.astype(jnp.float32))
-    return jnp.einsum("bd,bkd->bk", zn, en,
-                      preferred_element_type=jnp.float32) * scale
+    en = l2_normalize(word_emb.astype(jnp.float32))  # [V, D]
+    scores = jnp.einsum("bd,vd->bv", zn, en,
+                        preferred_element_type=jnp.float32)  # [B, V]
+    return jnp.take_along_axis(scores, candidates, axis=1) * scale
 
 
 class VLMapDescriptionModel(nn.Module):
