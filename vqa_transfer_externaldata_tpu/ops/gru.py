@@ -68,14 +68,22 @@ class GRUEncoder(nn.Module):
 
         dt = self.dtype
         x = x.astype(dt)
-        # Hoisted input projection: one [B*T, D] @ [D, 3H] MXU matmul.
-        gx = jnp.dot(x.reshape(B * T, D), wx.astype(dt),
-                     preferred_element_type=jnp.float32)
-        gx = (gx + b).reshape(B, T, 3 * H)
+        # Hoisted input projection, TIME-MAJOR: transpose the cheap
+        # [B, T, D] bf16 input (D=300) BEFORE the matmul so gx is born
+        # [T, B, 3H] — the layout both the Pallas recurrence and the scan
+        # consume. Producing gx batch-major and swapping after cost a
+        # 0.057 ms/step f32 [*, 3H] relayout copy on v5e (profiled
+        # copy_bitcast_fusion.2), and the backward paid a second one for
+        # dgx (copy.195, 0.067 ms) — both gone in this layout; the dx/dWx
+        # matmuls contract over T*B and never need batch-major.
+        xt = jnp.swapaxes(x, 0, 1)  # [T, B, D]
+        gx_t = jnp.dot(xt.reshape(T * B, D), wx.astype(dt),
+                       preferred_element_type=jnp.float32)
+        gx_t = (gx_t + b).reshape(T, B, 3 * H)
 
         if self.use_pallas and not self.reverse:
             lens = jnp.sum(mask, axis=1).astype(jnp.int32)
-            hT = gru_fused(gx, lens, uh.astype(dt), bhn)
+            hT = gru_fused(gx_t, lens, uh.astype(dt), bhn)
             return hT.astype(dt)
 
         uh_c = uh.astype(dt)
@@ -96,10 +104,9 @@ class GRUEncoder(nn.Module):
             return h_next, None
 
         h0 = jnp.zeros((B, H), jnp.float32)
-        gx_seq = jnp.swapaxes(gx, 0, 1)  # [T, B, 3H]
         mask_seq = jnp.swapaxes(mask, 0, 1)  # [T, B]
         unroll = T if self.unroll == -1 else self.unroll
-        hT, _ = jax.lax.scan(step, h0, (gx_seq, mask_seq),
+        hT, _ = jax.lax.scan(step, h0, (gx_t, mask_seq),
                              unroll=unroll, reverse=self.reverse)
         return hT.astype(dt)
 
@@ -244,13 +251,14 @@ def _round8(x: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _gru_pallas_fwd_call(gx, lens, uh, bhn, *, interpret: bool):
-    """gx [B, T, 3H] f32, lens [B] i32, uh [H, 3H], bhn [H] f32
+def _gru_pallas_fwd_call(gx_t, lens, uh, bhn, *, interpret: bool):
+    """gx_t [T, B, 3H] f32 (time-major — the layout the kernel's per-step
+    blocks want; batch-major input cost a profiled 0.057 ms relayout),
+    lens [B] i32, uh [H, 3H], bhn [H] f32
     -> (hT [B, H] f32, hseq [T, B, H] f32)."""
-    B, T, H3 = gx.shape
+    T, B, H3 = gx_t.shape
     H = H3 // 3
     Bp = _round8(B)
-    gx_t = jnp.swapaxes(gx, 0, 1)  # [T, B, 3H]
     if Bp != B:
         gx_t = jnp.pad(gx_t, ((0, 0), (0, Bp - B), (0, 0)))
         lens = jnp.pad(lens, (0, Bp - B))
@@ -290,12 +298,14 @@ def _gru_pallas_fwd_call(gx, lens, uh, bhn, *, interpret: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _gru_pallas_bwd_call(gx, hseq, lens, uh, bhn, ghT, *, interpret: bool):
-    """Reverse BPTT -> (dgx [B, T, 3H] f32, duh [H, 3H] f32, dbhn [H])."""
-    B, T, H3 = gx.shape
+def _gru_pallas_bwd_call(gx_t, hseq, lens, uh, bhn, ghT, *, interpret: bool):
+    """Reverse BPTT -> (dgx_t [T, B, 3H] f32, duh [H, 3H] f32, dbhn [H]).
+    Time-major in AND out: dgx_t feeds the dx/dWx matmuls, which contract
+    over T*B and never need batch-major (returning [B, T, 3H] cost a
+    profiled 0.067 ms relayout copy per step)."""
+    T, B, H3 = gx_t.shape
     H = H3 // 3
     Bp = _round8(B)
-    gx_t = jnp.swapaxes(gx, 0, 1)
     if Bp != B:
         gx_t = jnp.pad(gx_t, ((0, 0), (0, Bp - B), (0, 0)))
         hseq = jnp.pad(hseq, ((0, 0), (0, Bp - B), (0, 0)))
@@ -342,7 +352,7 @@ def _gru_pallas_bwd_call(gx, hseq, lens, uh, bhn, ghT, *, interpret: bool):
             transcendentals=3 * T * Bp * H),
         interpret=interpret,
     )(gx_t, hseq, lens2d, uh, uht, bhn_rows, ghT.astype(jnp.float32))
-    return jnp.swapaxes(dgx, 0, 1)[:B], duh, dbhn[0]
+    return dgx[:, :B], duh, dbhn[0]
 
 
 @functools.lru_cache(maxsize=None)
@@ -359,26 +369,26 @@ def _make_gru_fused(interpret: bool):
         return hT, (gx, hseq, lens, uh, bhn)
 
     def bwd(res, ghT):
-        gx, hseq, lens, uh, bhn = res
-        dgx, duh, dbhn = _gru_pallas_bwd_call(gx, hseq, lens, uh, bhn, ghT,
-                                              interpret=interpret)
-        B = gx.shape[0]
-        return (dgx[:B].astype(gx.dtype), None,
+        gx_t, hseq, lens, uh, bhn = res
+        dgx_t, duh, dbhn = _gru_pallas_bwd_call(gx_t, hseq, lens, uh, bhn,
+                                                ghT, interpret=interpret)
+        return (dgx_t.astype(gx_t.dtype), None,
                 duh.astype(uh.dtype), dbhn.astype(bhn.dtype))
 
     fused.defvjp(fwd, bwd)
     return fused
 
 
-def gru_fused(gx: jnp.ndarray, lens: jnp.ndarray, uh: jnp.ndarray,
+def gru_fused(gx_t: jnp.ndarray, lens: jnp.ndarray, uh: jnp.ndarray,
               bhn: jnp.ndarray, *,
               interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Fused GRU recurrence: gx [B, T, 3H] (= x@Wx + b), lens [B] int32
-    true lengths (prefix masking), uh [H, 3H], bhn [H] -> final state
-    [B, H] f32. Differentiable in gx/uh/bhn via the BPTT kernel."""
+    """Fused GRU recurrence: gx_t [T, B, 3H] TIME-MAJOR (= x@Wx + b —
+    produce it in this layout; see GRUEncoder), lens [B] int32 true
+    lengths (prefix masking), uh [H, 3H], bhn [H] -> final state
+    [B, H] f32. Differentiable in gx_t/uh/bhn via the BPTT kernel."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _make_gru_fused(interpret)(gx, lens, uh, bhn)
+    return _make_gru_fused(interpret)(gx_t, lens, uh, bhn)
 
 
 class TFGRUEncoder(nn.Module):
