@@ -98,7 +98,14 @@ def bench_stage1_vlmap(on_tpu: bool) -> dict:
 
 def bench_resident_eval(on_tpu: bool) -> dict:
     """Device-resident full-split eval throughput, q/s/chip (one dispatch
-    + one fetch for the whole split; BASELINE.md round-2 row: 84,421)."""
+    + one fetch for the whole split; BASELINE.md round-2 row: 84,421).
+
+    16384 rows (round 3; was 4096): the relay's fixed ~35 ms
+    dispatch+fetch cost dominated the 4096-row split (profiled device
+    time 17 ms of a 50-80 ms wall), understating the full-split rate a
+    real 200k-row VQA val eval would see. answer_scores staying host-side
+    (trainer._make_resident_evaluator) makes the bigger split nearly
+    upload-free (+2 MB)."""
     from vqa_transfer_externaldata_tpu.config import Config
     from vqa_transfer_externaldata_tpu.data.datasets import (
         synthetic_vqa_joined)
@@ -115,7 +122,7 @@ def bench_resident_eval(on_tpu: bool) -> dict:
             "model.rnn_dim": 64, "model.fusion_dim": 128,
             "model.att_hidden": 64, "model.dtype": "float32"}),
     })
-    n_q = 4096 if on_tpu else 128
+    n_q = 16384 if on_tpu else 128
     ds = synthetic_vqa_joined(cfg, n_questions=n_q,
                               n_images=256 if on_tpu else 16, seed=0)
     spec = build_model(cfg)

@@ -61,6 +61,13 @@ class VQAAttentionModel(nn.Module):
     # runs its own scalar-prefetch grid (ops/attention_resident docstring).
     data_mesh: Optional[Any] = None
     data_axis_name: str = "data"
+    # Set by the Trainer when it L2-normalizes the resident store's cells
+    # ONCE at upload (parallel/trainer._prepare_resident): the resident
+    # kernels then skip the per-access sum-of-squares/rsqrt entirely
+    # (identical math — normalizing constant data is a forward transform,
+    # feature_grad is False by construction). Only consulted on the
+    # (store, rows) path; gathered features always normalize in-model.
+    store_prenormalized: bool = False
     word_init: Optional[np.ndarray] = None  # [vocab, word_dim] GloVe
     answer_init: Optional[np.ndarray] = None  # [answers, answer_dim]
 
@@ -115,7 +122,8 @@ class VQAAttentionModel(nn.Module):
                 v_att, alpha = spatial_attention_resident(
                     store.astype(dt), feat_rows, qh, wv, ws,
                     n_valid=self.n_cells or store.shape[1],
-                    normalize=self.normalize_v,
+                    normalize=(self.normalize_v
+                               and not self.store_prenormalized),
                     mesh=self.data_mesh, data_axis=self.data_axis_name)
             else:
                 # Mode-dependent forward dispatch (measured on v5e, batch

@@ -114,17 +114,30 @@ class Trainer:
             raise ValueError(
                 f"global batch_size={cfg.train.batch_size} must be divisible "
                 f"by the data-axis size {n_data} of {self.mesh}")
+        module_updates: Dict[str, Any] = {}
         if n_data > 1 and getattr(spec.module, "data_mesh", "no") is None:
             # Multi-device data axis: hand the model the mesh so the
             # resident attention op runs under shard_map (each device its
             # own scalar-prefetch grid — GSPMD cannot partition the Mosaic
             # custom call itself; ops/attention_resident docstring).
+            module_updates.update(data_mesh=self.mesh,
+                                  data_axis_name=self.mesh.axis_names[0])
+        if (cfg.train.resident_fused_attention
+                and cfg.train.device_data_cache
+                and getattr(spec.module, "normalize_v", False)
+                and getattr(spec.module, "store_prenormalized", None)
+                is False):
+            # The fused resident mode L2-normalizes the store's cells ONCE
+            # at upload (_prepare_resident) instead of on every kernel
+            # access — the model must then skip normalization on the
+            # (store, rows) path. Decided here so the train/eval step
+            # closures (built below) and _prepare_resident agree.
+            module_updates.update(store_prenormalized=True)
+        if module_updates:
             import dataclasses
 
             self.spec = spec = dataclasses.replace(
-                spec, module=spec.module.clone(
-                    data_mesh=self.mesh,
-                    data_axis_name=self.mesh.axis_names[0]))
+                spec, module=spec.module.clone(**module_updates))
         self.tx, self.lr_fn = make_optimizer(cfg)
         self.train_dir = train_dir or cfg.train.train_dir
         self.ckpt = CheckpointManager(
@@ -607,15 +620,20 @@ class Trainer:
             self.ckpt.wait()
         return state
 
-    def _prepare_resident(self, ds) -> Tuple[Dict[str, Any], Callable, int]:
+    def _prepare_resident(self, ds, drop_keys: Tuple[str, ...] = ()
+                          ) -> Tuple[Dict[str, Any], Callable, int]:
         """Host-side prep for device-resident data: cast feature arrays to
         the compute dtype, and for a JoinedDataset stage the deduplicated
         store as separate ``grid``/``pool5`` planes. Returns
         ``(data, make_batch, nbytes)`` where ``make_batch(idx, data)``
-        materializes a batch on device (one- or two-level gather)."""
+        materializes a batch on device (one- or two-level gather).
+        ``drop_keys``: row arrays to keep host-side (the resident evaluator
+        drops ``answer_scores`` — [n, A] f32, the largest row array — and
+        recomputes its one consumer host-side from the fetched preds)."""
         from vqa_transfer_externaldata_tpu.data.features import JoinedDataset
 
-        arrays = {k: np.asarray(v) for k, v in ds.arrays.items()}
+        arrays = {k: np.asarray(v) for k, v in ds.arrays.items()
+                  if k not in drop_keys}
         arrays = self._cast_features_host(arrays)
         data: Dict[str, Any] = {"rows": arrays}
         joined = isinstance(ds, JoinedDataset)
@@ -673,6 +691,18 @@ class Trainer:
                 from vqa_transfer_externaldata_tpu.ops.attention_resident \
                     import pad_store_rows
 
+                if getattr(self.spec.module, "store_prenormalized", False):
+                    # Normalize each cell ONCE here (f32, the kernel's
+                    # rsqrt(ssq + 1e-12) convention) so the fwd+bwd
+                    # kernels skip the per-access sum-of-squares/rsqrt;
+                    # the model passes normalize=False for this store.
+                    # np.array (not asarray): grid_c can alias
+                    # ds.store.grid when no dtype cast happened, and the
+                    # in-place scale below must not mutate the dataset.
+                    g32 = np.array(grid_c, np.float32)
+                    ssq = np.sum(np.square(g32), axis=-1, keepdims=True)
+                    g32 *= 1.0 / np.sqrt(ssq + 1e-12)
+                    grid_c = g32.astype(grid_c.dtype)
                 data["grid_pad"] = pad_store_rows(grid_c)
             else:
                 n_planes = max(1, (C2 + 1023) // 1024)
@@ -723,7 +753,12 @@ class Trainer:
         total."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        data, make_batch, nbytes = self._prepare_resident(ds)
+        # answer_scores ([n, A] f32 — the largest row array) stays HOST-side:
+        # its only consumer is the scores[i, pred_i] indicator, recomputed
+        # below from the fetched preds in f64. Cuts the one-time upload by
+        # n*A*4 bytes and drops a [B, A] gather from every scan step.
+        data, make_batch, nbytes = self._prepare_resident(
+            ds, drop_keys=("answer_scores",))
         log.info("device-resident eval split: %d rows, %.2f GB uploaded "
                  "once", ds.size, nbytes / 1e9)
         dev_arrays = put_sharded(data, self._repl)
@@ -765,6 +800,11 @@ class Trainer:
         dev_idxs = put_sharded(idxs, bshard)
         dev_masks = put_sharded(masks, bshard)
 
+        scores_host = (np.asarray(ds.arrays["answer_scores"], np.float64)
+                       if "answer_scores" in ds.arrays else None)
+        labels_host = (np.asarray(ds.arrays["answer_id"])
+                       if "answer_id" in ds.arrays else None)
+
         def run(state: TrainState) -> Tuple[Dict[str, float], np.ndarray]:
             p, m = eval_step(state.params, state.extra_vars,
                              dev_idxs, dev_masks, dev_arrays)
@@ -773,7 +813,17 @@ class Trainer:
             w = m.pop("weight", np.ones(len(starts)))
             total_w = max(float(w.sum()), 1e-9)
             means = {k: float((v * w).sum() / total_w) for k, v in m.items()}
-            return means, np.asarray(p).reshape(-1)[:n]
+            preds = np.asarray(p).reshape(-1)[:n]
+            if scores_host is not None and labels_host is not None:
+                # Same weighting as vqa_loss's in-loop indicator (valid =
+                # answer in vocab; padding already excluded by [:n]).
+                from vqa_transfer_externaldata_tpu.utils.vocab import UNK_ID
+
+                wv = (labels_host[:n] != UNK_ID).astype(np.float64)
+                means["vqa_accuracy"] = float(
+                    (scores_host[np.arange(n), preds] * wv).sum()
+                    / max(wv.sum(), 1e-9))
+            return means, preds
 
         return run
 
