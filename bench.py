@@ -17,16 +17,18 @@ output, BENCH_r02.json rc=124):
 
 - **Watchdog**: a ``signal.alarm`` (default 280 s, ``BENCH_WATCHDOG_SECS``)
   emits a JSON line from whatever steady windows exist at that moment and
-  KEEPS RUNNING, re-arming every 80 s (3 re-arms, hard exit ~520 s) — so
-  whenever the driver's own timeout strikes, the stdout tail already holds
-  the newest parsable line. ``"partial": true`` marks watchdog emissions;
-  the final non-partial line supersedes them when the run completes. A
-  zero-window fire emits nothing (a value of 0.0 as the stdout tail would
-  be worse than silence) EXCEPT on the final fire, which always emits.
-  (The axon relay charges every fresh process a ~90-280 s cold start on
-  its FIRST jit dispatch — measured 277 s for a trivial program, compile
-  cache notwithstanding — so a hard exit at the judge-suggested ~240 s
-  would often report zero windows.)
+  KEEPS RUNNING, re-arming every 80 s — so whenever the driver's own
+  timeout strikes, the stdout tail already holds the newest parsable
+  line. ``"partial": true`` marks watchdog emissions; the final
+  non-partial line supersedes them when the run completes. The exit is
+  PROGRESS-ANCHORED: the relay charges every fresh process a 200-470 s
+  cold start on its FIRST jit dispatch (measured 277 s for a trivial
+  program, 471 s under contention; compile cache notwithstanding), so the
+  watchdog only self-exits once training has had >=160 s to produce
+  windows after that spin-up — or at ``BENCH_HARD_EXIT_SECS`` (900) for
+  true hangs. Zero-window fires emit with
+  ``"status": "no_windows_yet_cold_start"`` (value 0.0 = "not measured",
+  never "measured zero"); fires with windows emit ``"status": "ok"``.
 - **Statistics**: value = trimmed mean (min/max dropped) of the steady
   windows (first window discarded: it carries jit compile + upload);
   ``windows_qps_per_chip`` lists every window so the spread is visible;
@@ -73,8 +75,9 @@ ROUND1_CEILING = 53966.0
 # measurement of THIS run; recorded so the JSON carries the stable
 # compute-ceiling context next to the noisy wall number. 3.63 -> 3.00
 # when the resident backward began consuming the forward's saved
-# activations instead of recomputing v @ wv (ops/attention_resident).
-DEVICE_STEP_MS_PROFILED = 3.00
+# activations instead of recomputing v @ wv (ops/attention_resident);
+# 3.00 -> 2.77 with the time-major GRU + prenormalized store.
+DEVICE_STEP_MS_PROFILED = 2.77
 
 _t0 = time.time()
 
@@ -101,7 +104,7 @@ def _read_windows(train_dir: str) -> list:
 
 
 def _emit(train_dir: str, n_chips: int, batch_size: int,
-          partial: bool) -> None:
+          partial: bool, status: str = "ok") -> None:
     qps_windows = _read_windows(train_dir)
     # First window carries jit compile + dataset upload; the rest are
     # steady-state pipeline throughput.
@@ -120,6 +123,12 @@ def _emit(train_dir: str, n_chips: int, batch_size: int,
         "device_step_ms_profiled": DEVICE_STEP_MS_PROFILED,
         "batch_size": batch_size,
         "partial": partial,
+        # "ok" | "no_windows_yet_cold_start": the latter means the relay's
+        # per-process cold start (200-470 s measured) ate the whole budget
+        # before a single measurement window completed — value 0.0 is then
+        # "not measured", NOT "measured zero"; device_step_ms_profiled
+        # carries the stable compute-ceiling context.
+        "status": status,
     }), flush=True)
 
 
@@ -193,17 +202,33 @@ def main() -> None:
     # Each firing emits the current state and re-arms, so the newest
     # parsable line is on stdout whenever the driver's timeout strikes.
     fires = [0]
+    train_started = [0.0]  # set when fit_resident is entered
+    hard_exit = int(os.environ.get("BENCH_HARD_EXIT_SECS", "900"))
 
     def on_alarm(signum, frame):
         fires[0] += 1
-        last = fires[0] >= 4
+        elapsed = time.time() - _t0
+        # Progress-anchored exit: the per-process cold start is 200-470 s
+        # (measured; pure relay/compile-service spin-up, unrelated to this
+        # code), so counting fires from t0 alone can kill the run seconds
+        # after training finally starts (round-3 run 1: init at 471 s,
+        # killed at 526 s with ZERO windows). Exit only once training has
+        # had >=160 s (2 fires) to produce windows — or at the absolute
+        # BENCH_HARD_EXIT_SECS cap for true hangs.
+        trained_for = (time.time() - train_started[0]) \
+            if train_started[0] else 0.0
+        last = (elapsed >= hard_exit
+                or (fires[0] >= 4 and trained_for >= 160))
         have_windows = bool(_read_windows(train_dir))
         if have_windows or last:
-            _note(f"WATCHDOG fired ({fires[0]}/4) — emitting partial result")
-            _emit(train_dir, n_chips, batch_size, partial=True)
+            _note(f"WATCHDOG fired ({fires[0]}) — emitting "
+                  f"{'final' if last else 'partial'} result")
+            _emit(train_dir, n_chips, batch_size, partial=True,
+                  status="ok" if have_windows
+                  else "no_windows_yet_cold_start")
         else:
-            _note(f"WATCHDOG fired ({fires[0]}/4) — no windows yet, "
-                  f"re-arming")
+            _note(f"WATCHDOG fired ({fires[0]}) — no windows yet "
+                  f"(trained {trained_for:.0f}s), re-arming")
         if last:
             os._exit(0)
         signal.alarm(80)
@@ -214,6 +239,7 @@ def main() -> None:
     state = trainer.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
     _note("state initialized; entering fit_resident (first window = "
           "compile + upload)")
+    train_started[0] = time.time()
     state = trainer.fit_resident(ds, state)
     _note("training done")
 

@@ -526,6 +526,56 @@ def test_resident_fused_attention_matches_gather(tiny_config, tmp_path,
                                    err_msg=k)
 
 
+def test_sort_batch_by_image_is_training_invariant(tiny_config, tmp_path,
+                                                   eight_cpu_devices):
+    """train.sort_batch_by_image reorders each staged index batch by its
+    store row (image-locality for the resident kernels' block fetches) —
+    a pure WITHIN-batch permutation, so training must reach the same
+    params as the unsorted stream (up to float summation order)."""
+    from vqa_transfer_externaldata_tpu.data.features import (
+        FeatureStore, JoinedDataset)
+
+    base = tiny_config.replace_flat({"model.model": "vqa_attention",
+                                     "model.dropout": 0.0,
+                                     "model.dtype": "float32",
+                                     "train.batch_size": 32})
+    d = base.data
+    rng = np.random.default_rng(7)
+    M, n = 8, 96  # heavy duplication: ~12 questions per image
+    store_path = str(tmp_path / "store.npz")
+    np.savez(store_path,
+             grid=rng.normal(size=(M, d.grid_h, d.grid_w, d.feature_dim))
+             .astype(np.float16),
+             pool5=rng.normal(size=(M, d.pool5_dim)).astype(np.float32),
+             image_ids=np.arange(M, dtype=np.int64))
+    rows = {
+        "q_ids": rng.integers(4, d.vocab_size,
+                              size=(n, d.max_question_len)).astype(np.int32),
+        "answer_id": rng.integers(4, d.num_answers, size=n).astype(np.int32),
+        "image_index": rng.integers(0, M, size=n).astype(np.int32),
+    }
+
+    results = {}
+    for sort in (False, True):
+        cfg = base.replace_flat({"train.sort_batch_by_image": sort})
+        spec = build_model(cfg)
+        ds = JoinedDataset(dict(rows), FeatureStore(store_path),
+                           index_key="image_index",
+                           feature_keys=("features", "pool5"))
+        tr = Trainer(cfg, spec, train_dir=str(tmp_path / f"s{sort}"))
+        s = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+        s = tr.fit_resident(ds, s, max_steps=6)
+        results[sort] = jax.device_get(s.params)
+        tr.close()
+
+    for (k, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(results[False]),
+            jax.tree_util.tree_leaves_with_path(results[True])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(k))
+
+
 def test_freeze_excluded_from_clip_norm(tiny_config):
     """Frozen params' gradients must not inflate the global clip norm and
     scale down every live update (round-2 VERDICT weak #5): the freeze mask

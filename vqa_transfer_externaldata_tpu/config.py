@@ -159,6 +159,16 @@ class TrainConfig:
     # resident store via Mosaic scalar prefetch (vqa_attention only,
     # single glimpse). See ops/attention_resident.py.
     resident_fused_attention: bool = False
+    # With device_data_cache on a JoinedDataset: order each staged index
+    # batch by its store row (image_index). Batch COMPOSITION is unchanged
+    # — only the within-batch order, to which every reduction (loss mean,
+    # grads, metrics) is invariant — but questions sharing an image become
+    # adjacent, so the resident kernels' per-question v block keeps the
+    # same index across consecutive grid steps and Mosaic skips the
+    # re-fetch (one [Np, C] HBM read per distinct image instead of per
+    # question). Helps exactly when batches carry duplicate images
+    # (VQA v2: ~3 questions/image).
+    sort_batch_by_image: bool = True
 
 
 @dataclass

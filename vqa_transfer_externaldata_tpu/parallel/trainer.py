@@ -532,6 +532,19 @@ class Trainer:
         next_log = _next_multiple(stepno, t.log_every)
         next_eval = _next_multiple(stepno, t.eval_every)
         indices = ds.index_batches(t.batch_size, seed=t.seed)
+        # Within-batch image-locality sort (train.sort_batch_by_image):
+        # consecutive grid steps of the resident kernels then revisit the
+        # same store-row block and Mosaic elides the HBM re-fetch. Pure
+        # within-batch permutation — every per-batch reduction is
+        # order-invariant, so training is bitwise-equivalent up to float
+        # summation order (tested).
+        sort_rows = None
+        if t.sort_batch_by_image:
+            from vqa_transfer_externaldata_tpu.data.features import (
+                JoinedDataset)
+
+            if isinstance(ds, JoinedDataset):
+                sort_rows = np.asarray(ds.arrays[ds.index_key])
         log.info("training (device-resident) from step %d to %d over %s",
                  stepno, max_steps, self.mesh)
         # Multi-host: index batches are generated identically on every
@@ -555,6 +568,9 @@ class Trainer:
                 todo = max_steps - stepno
                 n_rows = min(seg_steps, ((todo + k - 1) // k) * k)
                 rows = [next(indices) for _ in range(min(n_rows, todo))]
+                if sort_rows is not None:
+                    rows = [r[np.argsort(sort_rows[r], kind="stable")]
+                            for r in rows]
                 while len(rows) < n_rows:  # static shapes for the tail
                     rows.append(rows[-1])
                 seg = np.stack(rows)  # [S, B]
