@@ -162,13 +162,13 @@ class TrainConfig:
     # With device_data_cache on a JoinedDataset: order each staged index
     # batch by its store row (image_index). Batch COMPOSITION is unchanged
     # — only the within-batch order, to which every reduction (loss mean,
-    # grads, metrics) is invariant — but questions sharing an image become
-    # adjacent, so the resident kernels' per-question v block keeps the
-    # same index across consecutive grid steps and Mosaic skips the
-    # re-fetch (one [Np, C] HBM read per distinct image instead of per
-    # question). Helps exactly when batches carry duplicate images
-    # (VQA v2: ~3 questions/image).
-    sort_batch_by_image: bool = True
+    # grads, metrics) is invariant (tested). Hypothesis was that the
+    # resident kernels' v block would skip its HBM re-fetch on consecutive
+    # same-row grid steps; MEASURED 2026-08-17 on v5e: no device-step
+    # change at 8-16 questions/image (Mosaic issues the block copy
+    # regardless of index equality), so this defaults OFF. Kept selectable
+    # for gather-path locality experiments.
+    sort_batch_by_image: bool = False
 
 
 @dataclass
