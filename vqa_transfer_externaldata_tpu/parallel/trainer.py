@@ -75,25 +75,38 @@ def _freeze_mask_fn(names_csv: str) -> Callable[[Any], Any]:
     return mask
 
 
-def make_optimizer(cfg: Config) -> Tuple[optax.GradientTransformation,
-                                         optax.Schedule]:
+def make_optimizer(cfg: Config, extra_frozen: str = ""
+                   ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
+    """``extra_frozen``: model-implied frozen subtrees appended to
+    ``train.freeze_params`` (the Trainer adds ``resnet`` when the module
+    declares ``freeze_backbone`` — a 44M-param ResNet-101 must not carry
+    Adam state: m/v for it is ~350 MB of HBM and >1 GB/step of pure
+    read-modify-write traffic for updates that are identically zero)."""
     t = cfg.train
     lr = make_lr_schedule(cfg)
-    parts = [
+    frozen_csv = ",".join(s for s in (t.freeze_params, extra_frozen) if s)
+    adamw = optax.adamw(lr, b1=t.adam_beta1, b2=t.adam_beta2,
+                        eps=t.adam_eps, weight_decay=t.weight_decay)
+    if not frozen_csv:
+        return optax.chain(optax.clip_by_global_norm(t.grad_clip_norm),
+                           adamw), lr
+    # Frozen leaves are zeroed BEFORE the global-norm clip (their
+    # gradients must not inflate the clip norm and scale down every live
+    # param's update). adamw itself is masked to the TRAINABLE leaves, so
+    # frozen leaves allocate NO m/v state (optax.MaskedNode) and pay no
+    # per-step optimizer traffic; their (zeroed) updates pass through
+    # unchanged and weight decay cannot leak into them. The transferred
+    # answer space stays exactly as transfer_init wrote it.
+    frozen_fn = _freeze_mask_fn(frozen_csv)
+
+    def trainable_fn(params):
+        return jax.tree_util.tree_map(lambda m: not m, frozen_fn(params))
+
+    return optax.chain(
+        optax.masked(optax.set_to_zero(), frozen_fn),
         optax.clip_by_global_norm(t.grad_clip_norm),
-        optax.adamw(lr, b1=t.adam_beta1, b2=t.adam_beta2, eps=t.adam_eps,
-                    weight_decay=t.weight_decay),
-    ]
-    if t.freeze_params:
-        # Frozen leaves are zeroed BEFORE the global-norm clip (their
-        # gradients must not inflate the clip norm and scale down every
-        # live param's update) and again AFTER adamw (weight decay would
-        # otherwise leak into the frozen leaves). The transferred answer
-        # space stays exactly as transfer_init wrote it.
-        freeze = optax.masked(optax.set_to_zero(),
-                              _freeze_mask_fn(t.freeze_params))
-        parts = [freeze, *parts, freeze]
-    return optax.chain(*parts), lr
+        optax.masked(adamw, trainable_fn),
+    ), lr
 
 
 class Trainer:
@@ -138,7 +151,9 @@ class Trainer:
 
             self.spec = spec = dataclasses.replace(
                 spec, module=spec.module.clone(**module_updates))
-        self.tx, self.lr_fn = make_optimizer(cfg)
+        self.tx, self.lr_fn = make_optimizer(
+            cfg, extra_frozen=("resnet" if getattr(
+                spec.module, "freeze_backbone", False) else ""))
         self.train_dir = train_dir or cfg.train.train_dir
         self.ckpt = CheckpointManager(
             self.train_dir, keep=cfg.train.keep_checkpoints,
