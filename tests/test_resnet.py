@@ -170,6 +170,35 @@ def test_space_to_depth_resnet_matches_conv_stem():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_space_to_depth4_resnet_matches_conv_stem():
+    """space_to_depth_4 stem (full stem folding: 3x3x48->256 conv at the
+    quarter grid + BN/relu on the packed view + the maxpool as a 9-way
+    shifted max — no half-grid tensor ever materializes) must reproduce
+    the plain 7x7 stem exactly after the kernel rewrite."""
+    from vqa_transfer_externaldata_tpu.ops.resnet import (
+        ResNetV1, conv1_to_space_to_depth4)
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)) * 20, jnp.float32)
+    m_conv = ResNetV1(stage_sizes=(1, 1, 1, 1), width=8, dtype=jnp.float32)
+    variables = m_conv.init(jax.random.PRNGKey(0), x, train=False)
+    out_conv = m_conv.apply(variables, x, train=False)
+
+    params2 = dict(variables["params"])
+    params2["conv1"] = {"kernel": jnp.asarray(conv1_to_space_to_depth4(
+        np.asarray(variables["params"]["conv1"]["kernel"])))}
+    v2 = {"params": params2, "batch_stats": variables["batch_stats"]}
+    m_s2d4 = ResNetV1(stage_sizes=(1, 1, 1, 1), width=8,
+                      dtype=jnp.float32, stem="space_to_depth_4")
+    out_s2d4 = m_s2d4.apply(v2, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_s2d4["grid"]),
+                               np.asarray(out_conv["grid"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_s2d4["pool5"]),
+                               np.asarray(out_conv["pool5"]),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_end2end_model_forward(tiny_config):
     cfg = tiny_config.replace_flat({"model.model": "vqa_end2end",
                                     "data.image_size": 64})

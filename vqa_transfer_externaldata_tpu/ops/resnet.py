@@ -83,6 +83,33 @@ def conv1_to_space_to_depth(w7: np.ndarray) -> np.ndarray:
     return out
 
 
+def conv1_to_space_to_depth4(w7: np.ndarray) -> np.ndarray:
+    """[7,7,C,O] stem weights -> the equivalent [3,3,16C,4O] kernel for the
+    ``space_to_depth_4`` stem: input space-to-depth(4) (channel index
+    (dy, dx, c), dy/dx in 0..3), output the four conv1 stride-phases
+    packed as channel index (ry, rx, o), ry/rx in 0..1 — i.e. output cell
+    Q of the 112-grid holds conv1 outputs (2Q+ry, 2Q+rx) of the 224-grid.
+    Derivation: original tap t = 4(Q + kY - 1) + dy must equal
+    4Q + 2r - 3 + k for the 7x7/s2/p3 conv, so k = 4*kY + dy - 2r - 1;
+    taps with k outside 0..6 are zero."""
+    C, O = w7.shape[2], w7.shape[3]
+    out = np.zeros((3, 3, 16 * C, 4 * O), w7.dtype)
+    for kY in range(3):
+        for kX in range(3):
+            for dy in range(4):
+                for dx in range(4):
+                    for ry in range(2):
+                        for rx in range(2):
+                            ky = 4 * kY + dy - 2 * ry - 1
+                            kx = 4 * kX + dx - 2 * rx - 1
+                            if 0 <= ky < 7 and 0 <= kx < 7:
+                                ci = (dy * 4 + dx) * C
+                                oi = (ry * 2 + rx) * O
+                                out[kY, kX, ci:ci + C, oi:oi + O] = \
+                                    w7[ky, kx]
+    return out
+
+
 class ResNetV1(nn.Module):
     """Returns {"grid": [B, H/32, W/32, 2048], "pool5": [B, 2048]}.
 
@@ -102,23 +129,69 @@ class ResNetV1(nn.Module):
     def __call__(self, x: jnp.ndarray,
                  *, train: bool = False) -> Dict[str, jnp.ndarray]:
         x = x.astype(self.dtype)
-        if self.stem == "space_to_depth":
-            x = space_to_depth(x, 2)
-            x = nn.Conv(self.width, (4, 4), strides=(1, 1),
-                        padding=[(2, 1), (2, 1)], use_bias=False,
+        if self.stem == "space_to_depth_4":
+            # Deepest stem folding: the FULL stem (7x7/s2 conv -> BN ->
+            # relu -> 3x3/s2 maxpool) computed without any 224-grid tensor
+            # touching HBM. s2d(4) -> ONE MXU-friendly 3x3x48->256 conv at
+            # 112^2 (the four conv1 stride-phases (ry, rx) packed in the
+            # output channels; exact weights via conv1_to_space_to_depth4)
+            # -> BN/relu on the [..., 4, width] view (pointwise, commutes
+            # with the packing) -> the maxpool as a 9-way shifted max:
+            # pool output m covers 224-positions {2m-1, 2m, 2m+1} =
+            # phases {(m-1, r=1), (m, r=0), (m, r=1)} per axis.
+            #
+            # MEASURED AND NOT DEFAULT (2026-08-17, v5e, B=32, 448^2):
+            # 23.2 ms/step vs 20.1 for the s2d(2) stem. The conv itself
+            # improves (114 vs 36 TF/s — 0.78 vs 1.09 ms despite 2.3x the
+            # FLOPs), but the [B,112,112,4,64] views around BN/relu/max
+            # cost 3.3 ms of XLA layout copies (profiled: a 1.35 ms
+            # convert-copy feeding bn1, 1.04 ms relu materialization,
+            # 0.59 ms squeeze) — more than the 2.6 ms the whole s2d(2)
+            # stem region costs. Kept as an exact-tested variant
+            # (tests/test_resnet.py::test_space_to_depth4_resnet_matches
+            # _conv_stem) for shapes where a 4D-only rewrite may win.
+            x = space_to_depth(x, 4)  # [B, S/4, S/4, 48]
+            x = nn.Conv(4 * self.width, (3, 3), strides=(1, 1),
+                        padding=[(1, 1), (1, 1)], use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name="conv1")(x)
+            B, Hq, Wq, _ = x.shape
+            x = x.reshape(B, Hq, Wq, 4, self.width)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="bn1")(x)
+            x = nn.relu(x)
+            x = x.reshape(B, Hq, Wq, 2, 2, self.width)
+            neg = jnp.asarray(-np.inf, x.dtype)
+            # m-1 cells: shift down by one (front-pad with -inf).
+            prev_y = jnp.pad(x[:, :-1, :, 1], ((0, 0), (1, 0), (0, 0),
+                                               (0, 0), (0, 0)),
+                             constant_values=neg)
+            x = jnp.maximum(jnp.maximum(prev_y, x[:, :, :, 0]),
+                            x[:, :, :, 1])  # [B, Hq, Wq, 2, width]
+            prev_x = jnp.pad(x[:, :, :-1, 1], ((0, 0), (0, 0), (1, 0),
+                                               (0, 0)),
+                             constant_values=neg)
+            x = jnp.maximum(jnp.maximum(prev_x, x[:, :, :, 0]),
+                            x[:, :, :, 1])  # [B, Hq, Wq, width]
         else:
-            x = nn.Conv(self.width, (7, 7), strides=(2, 2),
-                        padding=[(3, 3), (3, 3)], use_bias=False,
-                        dtype=self.dtype, param_dtype=jnp.float32,
-                        name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="bn1")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2),
-                        padding=[(1, 1), (1, 1)])
+            if self.stem == "space_to_depth":
+                x = space_to_depth(x, 2)
+                x = nn.Conv(self.width, (4, 4), strides=(1, 1),
+                            padding=[(2, 1), (2, 1)], use_bias=False,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name="conv1")(x)
+            else:
+                x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                            padding=[(3, 3), (3, 3)], use_bias=False,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name="conv1")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="bn1")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=[(1, 1), (1, 1)])
         for stage, n_blocks in enumerate(self.stage_sizes):
             for block in range(n_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
@@ -161,8 +234,9 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray],
                              stem: str = "conv") -> Tuple[Dict, Dict]:
     """torchvision ``resnet101().state_dict()`` -> (params, batch_stats).
 
-    ``stem="space_to_depth"`` additionally rewrites the 7x7 stem kernel
-    into the exact 4x4 space-to-depth form (conv1_to_space_to_depth)."""
+    ``stem="space_to_depth"`` / ``"space_to_depth_4"`` additionally
+    rewrites the 7x7 stem kernel into the exact space-to-depth form
+    (conv1_to_space_to_depth / conv1_to_space_to_depth4)."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -176,6 +250,8 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray],
     conv1 = _conv(sd["conv1.weight"])
     if stem == "space_to_depth":
         conv1 = conv1_to_space_to_depth(conv1)
+    elif stem == "space_to_depth_4":
+        conv1 = conv1_to_space_to_depth4(conv1)
     params["conv1"] = {"kernel": conv1}
     params["bn1"], stats["bn1"] = {}, {}
     put_bn(params["bn1"], stats["bn1"], "bn1")
