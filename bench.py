@@ -166,6 +166,10 @@ def main() -> None:
         # Gather-free attention straight out of the resident store
         # (scalar-prefetch kernels): device step 5.09 -> 3.63 ms profiled.
         "train.resident_fused_attention": True,
+        # BENCH_QUANT=int8 benches the quantized resident store (halved
+        # v-read HBM traffic, quantization-noise numerics). Default ""
+        # keeps the headline number exact-math.
+        "train.store_quantize": os.environ.get("BENCH_QUANT", ""),
     }
     if os.environ.get("BENCH_PROFILE"):
         overrides["train.profile_start"] = window  # skip the compile window

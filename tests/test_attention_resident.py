@@ -120,3 +120,69 @@ def test_shard_map_matches_direct(data, normalize, eight_cpu_devices):
     for name, a, b in zip(("dqh", "dwv", "dws"), g_s, g_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_int8_store_exact_plumbing(data):
+    """An int8 store whose codes ARE the values (integer-valued grid,
+    scale 1) must match the float path exactly — forward and gradients.
+    Pins every piece of the quantized plumbing (in-kernel cast, wv fold,
+    v_att/dwv post-scales, cotangent pre-scale) with zero quantization
+    error in the comparison."""
+    _, rows, qh, wv, ws, N = data
+    rng = np.random.default_rng(11)
+    M = 6
+    ints = rng.integers(-127, 128, size=(M, N, 128)).astype(np.float32)
+    padded_f = jnp.asarray(pad_store_rows(ints))
+    padded_q = jnp.asarray(pad_store_rows(ints.astype(np.int8)))
+    assert padded_q.shape[1] % 32 == 0  # int8 sublane-tile padding
+
+    def loss(va_al):
+        va, al = va_al
+        return jnp.sum(va ** 2) + jnp.sum(al ** 3)
+
+    def f_float(qh, wv, ws):
+        return spatial_attention_resident(
+            padded_f, jnp.asarray(rows), qh, wv, ws,
+            n_valid=N, normalize=False, interpret=True)
+
+    def f_int8(qh, wv, ws):
+        return spatial_attention_resident(
+            padded_q, jnp.asarray(rows), qh, wv, ws,
+            n_valid=N, normalize=False, interpret=True, store_scale=1.0)
+
+    args = (jnp.asarray(qh), jnp.asarray(wv), jnp.asarray(ws))
+    for a, b in zip(f_int8(*args), f_float(*args)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    g_f = jax.grad(lambda *a: loss(f_float(*a)), argnums=(0, 1, 2))(*args)
+    g_q = jax.grad(lambda *a: loss(f_int8(*a)), argnums=(0, 1, 2))(*args)
+    for name, a, b in zip(("dqh", "dwv", "dws"), g_q, g_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+def test_int8_store_quantization_accuracy(data):
+    """quantize_store on an L2-prenormalized store: the quantized op must
+    track the float op within quantization noise (relative v_att error
+    well under 1%, attention argmax mostly preserved)."""
+    from vqa_transfer_externaldata_tpu.ops.attention_resident import (
+        quantize_store)
+
+    store, rows, qh, wv, ws, N = data
+    g32 = store / np.sqrt(
+        np.sum(store ** 2, axis=-1, keepdims=True) + 1e-12)
+    q, scale = quantize_store(g32)
+    assert q.dtype == np.int8 and 0 < scale < 1.0
+    va_f, al_f = spatial_attention_resident(
+        jnp.asarray(pad_store_rows(g32.astype(np.float32))),
+        jnp.asarray(rows), jnp.asarray(qh), jnp.asarray(wv),
+        jnp.asarray(ws), n_valid=N, normalize=False, interpret=True)
+    va_q, al_q = spatial_attention_resident(
+        jnp.asarray(pad_store_rows(q)), jnp.asarray(rows),
+        jnp.asarray(qh), jnp.asarray(wv), jnp.asarray(ws),
+        n_valid=N, normalize=False, interpret=True, store_scale=scale)
+    rel = (np.linalg.norm(np.asarray(va_q) - np.asarray(va_f))
+           / np.linalg.norm(np.asarray(va_f)))
+    assert rel < 0.01, rel
+    agree = (np.asarray(al_q).argmax(1) == np.asarray(al_f).argmax(1))
+    assert agree.mean() >= 0.9, agree.mean()

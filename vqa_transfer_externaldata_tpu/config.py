@@ -159,6 +159,16 @@ class TrainConfig:
     # resident store via Mosaic scalar prefetch (vqa_attention only,
     # single glimpse). See ops/attention_resident.py.
     resident_fused_attention: bool = False
+    # With resident_fused_attention: quantize the resident feature store.
+    # "int8": per-cell L2 prenormalization (store_prenormalized math,
+    # unchanged) then symmetric int8 codes with ONE global scale — the
+    # dominant HBM traffic of the attention kernels (the [Np, C] v reads)
+    # halves, the codes are cast in VMEM, and the scale is applied
+    # entirely outside the kernels (ops/attention_resident.quantize_store
+    # docstring). Affects training numerics at quantization-noise level
+    # (~0.4% relative on v_att; parity + accuracy tests in
+    # tests/test_attention_resident.py). "" = bf16 store (exact).
+    store_quantize: str = ""
     # With device_data_cache on a JoinedDataset: order each staged index
     # batch by its store row (image_index). Batch COMPOSITION is unchanged
     # — only the within-batch order, to which every reduction (loss mean,

@@ -68,6 +68,10 @@ class VQAAttentionModel(nn.Module):
     # feature_grad is False by construction). Only consulted on the
     # (store, rows) path; gathered features always normalize in-model.
     store_prenormalized: bool = False
+    # Set by the Trainer alongside an int8-quantized resident store
+    # (train.store_quantize): the global dequantization scale the op
+    # folds outside its kernels. 1.0 for float stores.
+    store_scale: float = 1.0
     word_init: Optional[np.ndarray] = None  # [vocab, word_dim] GloVe
     answer_init: Optional[np.ndarray] = None  # [answers, answer_dim]
 
@@ -119,11 +123,15 @@ class VQAAttentionModel(nn.Module):
                 from vqa_transfer_externaldata_tpu.ops.attention_resident \
                     import spatial_attention_resident
 
+                quant = jnp.issubdtype(store.dtype, jnp.integer)
                 v_att, alpha = spatial_attention_resident(
-                    store.astype(dt), feat_rows, qh, wv, ws,
+                    store if quant else store.astype(dt),
+                    feat_rows, qh, wv, ws,
                     n_valid=self.n_cells or store.shape[1],
                     normalize=(self.normalize_v
-                               and not self.store_prenormalized),
+                               and not self.store_prenormalized
+                               and not quant),
+                    store_scale=self.store_scale if quant else 1.0,
                     mesh=self.data_mesh, data_axis=self.data_axis_name)
             else:
                 # Mode-dependent forward dispatch (measured on v5e, batch

@@ -57,13 +57,32 @@ _NEG_INF = -1e30
 
 def pad_store_rows(grid: np.ndarray, multiple: int = 8) -> np.ndarray:
     """Pad the cell axis of an [M, N, C] store to a sublane multiple with
-    zero rows (masked out by ``n_valid`` in the kernels)."""
+    zero rows (masked out by ``n_valid`` in the kernels). int8 stores pad
+    to 32 (Mosaic's int8 sublane tile)."""
     M, N, C = grid.shape
+    if grid.dtype == np.int8:
+        multiple = max(multiple, 32)
     pad = (-N) % multiple
     if pad == 0:
         return grid
     return np.concatenate(
         [grid, np.zeros((M, pad, C), grid.dtype)], axis=1)
+
+
+def quantize_store(grid: np.ndarray) -> Tuple[np.ndarray, float]:
+    """Symmetric int8 quantization of an L2-prenormalized [M, N, C] store:
+    one GLOBAL scale (after per-cell unit normalization every cell has the
+    same norm, so component magnitudes are homogeneous across cells and a
+    global scale loses nothing vs per-cell scales — which the Mosaic lane
+    constraints make awkward to feed to the kernels). Returns
+    ``(int8 store, g)`` with ``float(int8) * g ~= value``; ``g`` folds
+    into ``wv`` / the ``v_att`` output outside the kernels
+    (spatial_attention_resident ``store_scale``)."""
+    g32 = np.asarray(grid, np.float32)
+    gmax = float(np.max(np.abs(g32))) or 1.0
+    g = gmax / 127.0
+    q = np.clip(np.rint(g32 / g), -127, 127).astype(np.int8)
+    return q, g
 
 
 def _onehot8(k, dtype):
@@ -86,6 +105,12 @@ def _make_fwd_kernel(n_valid: int, normalize: bool, save_h: bool):
             alpha_ref[:] = jnp.zeros_like(alpha_ref)
 
         v = v_ref[0]  # [Np, C] this question's grid row
+        if v.dtype == jnp.int8:
+            # Quantized store: dequantization is a fold of the global
+            # scale into wv (done by the wrapper) + a post-scale of v_att
+            # (outside the kernel) — in here the int8 codes just ride the
+            # MXU at the compute dtype.
+            v = v.astype(wv_ref.dtype)
         dt = v.dtype
         Np = v.shape[0]
         z = jnp.dot(v, wv_ref[:], preferred_element_type=f32)  # [Np, H]
@@ -146,6 +171,11 @@ def _make_bwd_kernel(n_valid: int, normalize: bool):
             dqh_ref[:] = jnp.zeros_like(dqh_ref)
 
         v = v_ref[0]  # [Np, C]
+        if v.dtype == jnp.int8:
+            # Quantized store (see fwd kernel): the wrapper pre-scales the
+            # incoming g cotangent and post-scales dwv by the global
+            # scale; in here the codes compute at the saved-h dtype.
+            v = v.astype(h_ref.dtype)
         dt = v.dtype
         Np = v.shape[0]
         onehot_row = _onehot8(k, dt).reshape(1, 8)
@@ -201,16 +231,21 @@ def _check_shapes(store, rows, qh, interpret):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_valid", "normalize", "interpret",
-                                    "save_h"))
+                                    "save_h", "store_scale"))
 def _resident_fwd(store, rows, qh, wv, ws, *, n_valid, normalize,
-                  interpret, save_h=False):
+                  interpret, save_h=False, store_scale=1.0):
     M, Np, C, B, H = _check_shapes(store, rows, qh, interpret)
-    dt = store.dtype
+    quant = jnp.issubdtype(store.dtype, jnp.integer)
+    # Compute dtype: the store's for float stores; the model's (qh's) for
+    # int8 stores, whose codes the kernel casts in VMEM.
+    dt = qh.dtype if quant else store.dtype
     # qh stays f32: the gathered paths add the question projection to the
     # f32 score accumulator without a bf16 round trip
     # (ops/attention._attention_pallas_fwd) — same convention here.
     qh8 = qh.astype(jnp.float32).reshape(B // 8, 8, H)
-    wv_c = wv.astype(dt)
+    # int8 fold: z = (g*wv)^T v8 is the true-scale projection.
+    wv_c = (wv * store_scale).astype(dt) if store_scale != 1.0 \
+        else wv.astype(dt)
     ws_rows = jnp.broadcast_to(ws.astype(dt)[None, :], (8, H))
     out_specs = [
         pl.BlockSpec((1, 8, C), lambda i, rows: (i // 8, 0, 0)),
@@ -247,26 +282,36 @@ def _resident_fwd(store, rows, qh, wv, ws, *, n_valid, normalize,
         interpret=interpret,
     )(rows.astype(jnp.int32), store, qh8, wv_c, ws_rows)
     vatt8, alpha8 = out[0], out[1]
-    ret = (vatt8.reshape(B, C), alpha8.reshape(B, Np)[:, :n_valid])
+    vatt = vatt8.reshape(B, C)
+    if store_scale != 1.0:
+        # Dequantize the attended vector: the kernel summed softmax
+        # weights against the raw int8 codes.
+        vatt = vatt * store_scale
+    ret = (vatt, alpha8.reshape(B, Np)[:, :n_valid])
     return ret + (out[2],) if save_h else ret
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_valid", "normalize", "interpret"))
+                   static_argnames=("n_valid", "normalize", "interpret",
+                                    "store_scale"))
 def _resident_bwd(store, rows, h, ws, alpha, g, sga, *, n_valid,
-                  normalize, interpret):
+                  normalize, interpret, store_scale=1.0):
     """Backward from the saved forward activations ``h`` [B, Np, H]
-    (store dtype) — no qh/wv operands and no z recompute (half the
-    backward's MXU work at production shape)."""
+    (compute dtype) — no qh/wv operands and no z recompute (half the
+    backward's MXU work at production shape). int8 stores: the incoming
+    ``g`` is pre-scaled (dalpha = (g*scale) . v8) and dwv post-scaled
+    (dwv = scale * v8^T dz) so the kernel only sees raw codes."""
     M, Np, C = store.shape
     B = rows.shape[0]
     H = h.shape[-1]
-    dt = store.dtype
+    dt = h.dtype
     ws_rows = jnp.broadcast_to(ws.astype(dt)[None, :], (8, H))
     alpha8 = alpha.astype(jnp.float32).reshape(B // 8, 8, Np)
     # g rides the MXU against the bf16 store for dalpha = g . v_hat —
     # the gathered backward casts identically (ops/attention._make_fused
     # .bwd: einsum(g.astype(v.dtype), v)).
+    if store_scale != 1.0:
+        g = g * store_scale
     g8 = g.astype(dt).reshape(B // 8, 8, C)
     sga8 = sga.astype(jnp.float32).reshape(B // 8, 8, Np)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -301,23 +346,28 @@ def _resident_bwd(store, rows, h, ws, alpha, g, sga, *, n_valid,
         ),
         interpret=interpret,
     )(rows.astype(jnp.int32), store, h, ws_rows, alpha8, g8, sga8)
+    if store_scale != 1.0:
+        dwv = dwv * store_scale
     return dqh8.reshape(B, H), dwv, dws[0]
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(n_valid: int, normalize: bool, interpret: bool):
+def _make_fused(n_valid: int, normalize: bool, interpret: bool,
+                store_scale: float = 1.0):
     @jax.custom_vjp
     def fused(store, rows, qh, wv, ws):
         return _resident_fwd(store, rows, qh, wv, ws, n_valid=n_valid,
-                             normalize=normalize, interpret=interpret)
+                             normalize=normalize, interpret=interpret,
+                             store_scale=store_scale)
 
     def fwd(store, rows, qh, wv, ws):
         # The grad-path forward also writes h = relu(z + qh) [B, Np, H]
-        # (store dtype) so the backward skips the v @ wv recompute. The
+        # (compute dtype) so the backward skips the v @ wv recompute. The
         # no-grad primal above (eval paths) never materializes it.
         vatt, alpha, h = _resident_fwd(
             store, rows, qh, wv, ws, n_valid=n_valid,
-            normalize=normalize, interpret=interpret, save_h=True)
+            normalize=normalize, interpret=interpret, save_h=True,
+            store_scale=store_scale)
         # qh/wv ride along only for their dtypes (they are live params
         # anyway — no extra memory under jit); the kernel consumes h.
         return (vatt, alpha), (store, rows, h, qh, wv, ws, alpha, vatt)
@@ -339,8 +389,12 @@ def _make_fused(n_valid: int, normalize: bool, interpret: bool):
         alpha_p = jnp.pad(alpha_f, ((0, 0), (0, Np - alpha_f.shape[1])))
         dqh, dwv, dws = _resident_bwd(
             store, rows, h, ws, alpha_p, g.astype(f32), sga,
-            n_valid=n_valid, normalize=normalize, interpret=interpret)
-        return (jnp.zeros_like(store),
+            n_valid=n_valid, normalize=normalize, interpret=interpret,
+            store_scale=store_scale)
+        dstore = (np.zeros(store.shape, jax.dtypes.float0)
+                  if jnp.issubdtype(store.dtype, jnp.integer)
+                  else jnp.zeros_like(store))
+        return (dstore,
                 np.zeros(rows.shape, jax.dtypes.float0),
                 dqh.astype(qh.dtype), dwv.astype(wv.dtype),
                 dws.astype(ws.dtype))
@@ -359,6 +413,7 @@ def spatial_attention_resident(
     n_valid: int,  # true cell count (<= Np; rest masked)
     normalize: bool = False,
     interpret: bool | None = None,
+    store_scale: float = 1.0,
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -367,10 +422,21 @@ def spatial_attention_resident(
     store is data). With ``mesh``/``data_axis`` (>1 device on the axis)
     the op runs under ``jax.shard_map``: store/wv/w_score replicated,
     rows/qh/outputs sharded on the data axis, each shard its own B/n
-    grid (see module docstring)."""
+    grid (see module docstring).
+
+    ``store`` may be an int8 quantized store (``quantize_store`` of an
+    L2-prenormalized grid) with its global ``store_scale``: HBM traffic
+    for the dominant v reads halves, the kernels cast the codes in VMEM,
+    and the scale is applied entirely outside the kernels (fold into wv,
+    post-scale of v_att / dwv, pre-scale of the backward cotangent).
+    Requires ``normalize=False`` (prenormalize before quantizing)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    fused = _make_fused(n_valid, normalize, interpret)
+    if jnp.issubdtype(store.dtype, jnp.integer):
+        assert not normalize, \
+            "int8 stores must be L2-prenormalized before quantization"
+    fused = _make_fused(n_valid, normalize, interpret,
+                        float(store_scale))
     if mesh is not None and data_axis is not None \
             and mesh.shape[data_axis] > 1:
         P = jax.sharding.PartitionSpec

@@ -171,6 +171,24 @@ class Trainer:
         self._train_step = self._step_for(max(1, cfg.train.steps_per_call))
         self._eval_step = self._build_eval_step()
 
+    def _set_module_attrs(self, **updates) -> None:
+        """Update static module attributes discovered after construction
+        (e.g. the int8 store's dequantization scale, known only once
+        ``_prepare_resident`` has seen the dataset) and rebuild every
+        step/eval closure that captured the old module. No-op when the
+        attributes already hold the requested values."""
+        if all(getattr(self.spec.module, k, None) == v
+               for k, v in updates.items()):
+            return
+        import dataclasses
+
+        self.spec = dataclasses.replace(
+            self.spec, module=self.spec.module.clone(**updates))
+        self._step_cache.clear()
+        self._train_step = self._step_for(
+            max(1, self.cfg.train.steps_per_call))
+        self._eval_step = self._build_eval_step()
+
     def _step_for(self, k: int) -> Callable:
         """Compiled train step fusing ``k`` optimizer steps per dispatch.
         Cached per k — the non-divisible tail of a run (max_steps % k != 0)
@@ -544,6 +562,36 @@ class Trainer:
         pending: Dict[str, jax.Array] = {}
         stepno = int(jax.device_get(state.step))
         last_log = stepno
+        # Lagged metric windows: at log boundary N the loop enqueues that
+        # window's on-device metrics and fetches/logs boundary N-1's —
+        # whose work has long finished — while window N is already queued
+        # on the device. Fetching the CURRENT boundary instead (the
+        # round-2 behavior) drains the whole dispatch pipeline and parks
+        # the device for a relay round trip (35-234 ms measured) out of
+        # every ~354 ms window: most of the gap between the 92.4k q/s
+        # profiled ceiling and the ~68k measured wall number. Each fetch
+        # still synchronizes to the END of the window it logs, so the
+        # wall time between consecutive fetches is honest steady-state
+        # device progress; metric VALUES simply arrive one window late.
+        lagged: list = []  # [(boundary stepno, on-device metric tree)]
+
+        def log_window(final: bool) -> None:
+            nonlocal last_log
+            lagged.append((stepno, pending))
+            while len(lagged) > (0 if final else 1):
+                at, pend = lagged.pop(0)
+                m = {key: float(v)
+                     for key, v in jax.device_get(pend).items()}
+                dt = timer.reset()
+                m["steps_per_sec"] = (at - last_log) / max(dt, 1e-9)
+                m["questions_per_sec"] = m["steps_per_sec"] * t.batch_size
+                last_log = at
+                self.metrics.write(at, m, prefix="train")
+                log.info("step %6d  loss %.4f  acc %.4f  %.1f q/s", at,
+                         m.get("loss", float("nan")),
+                         m.get("accuracy", float("nan")),
+                         m["questions_per_sec"])
+
         next_log = _next_multiple(stepno, t.log_every)
         next_eval = _next_multiple(stepno, t.eval_every)
         indices = ds.index_batches(t.batch_size, seed=t.seed)
@@ -621,18 +669,9 @@ class Trainer:
                          self.train_dir)
             if stepno >= next_log or stepno >= max_steps:
                 next_log = _next_multiple(stepno, t.log_every)
-                # ONE combined fetch (each get = one ~35 ms relay trip).
-                m = {key: float(v)
-                     for key, v in jax.device_get(pending).items()}
-                dt = timer.reset()
-                m["steps_per_sec"] = (stepno - last_log) / max(dt, 1e-9)
-                m["questions_per_sec"] = m["steps_per_sec"] * t.batch_size
-                last_log = stepno
-                self.metrics.write(stepno, m, prefix="train")
-                log.info("step %6d  loss %.4f  acc %.4f  %.1f q/s", stepno,
-                         m.get("loss", float("nan")),
-                         m.get("accuracy", float("nan")),
-                         m["questions_per_sec"])
+                # ONE combined fetch per window (each get = one ~35 ms
+                # relay trip), lagged one boundary — see log_window.
+                log_window(final=stepno >= max_steps)
             if (eval_ds is not None or eval_batches_fn is not None) \
                     and stepno >= next_eval:
                 next_eval = _next_multiple(stepno, t.eval_every)
@@ -722,6 +761,7 @@ class Trainer:
                 from vqa_transfer_externaldata_tpu.ops.attention_resident \
                     import pad_store_rows
 
+                quantize = self.cfg.train.store_quantize
                 if getattr(self.spec.module, "store_prenormalized", False):
                     # Normalize each cell ONCE here (f32, the kernel's
                     # rsqrt(ssq + 1e-12) convention) so the fwd+bwd
@@ -733,7 +773,24 @@ class Trainer:
                     g32 = np.array(grid_c, np.float32)
                     ssq = np.sum(np.square(g32), axis=-1, keepdims=True)
                     g32 *= 1.0 / np.sqrt(ssq + 1e-12)
-                    grid_c = g32.astype(grid_c.dtype)
+                    if quantize == "int8":
+                        # Symmetric int8 codes + one global scale: halves
+                        # the kernels' dominant HBM traffic; the scale
+                        # reaches the op as a static model attribute (the
+                        # step/eval closures are rebuilt if it changed).
+                        from vqa_transfer_externaldata_tpu.ops \
+                            .attention_resident import quantize_store
+
+                        grid_c, scale = quantize_store(g32)
+                        self._set_module_attrs(store_scale=scale)
+                    else:
+                        grid_c = g32.astype(grid_c.dtype)
+                elif quantize:
+                    log.warning(
+                        "train.store_quantize=%r needs the prenormalized "
+                        "fused resident path (normalize_v model + "
+                        "resident_fused_attention); keeping float store",
+                        quantize)
                 data["grid_pad"] = pad_store_rows(grid_c)
             else:
                 n_planes = max(1, (C2 + 1023) // 1024)
