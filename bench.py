@@ -15,20 +15,25 @@ fetch/logging cadence. Throughput is read from the trainer's own logged
 Driver-provability (round-3 redesign; round-2's run timed out with NO
 output, BENCH_r02.json rc=124):
 
-- **Watchdog**: a ``signal.alarm`` (default 280 s, ``BENCH_WATCHDOG_SECS``)
-  emits a JSON line from whatever steady windows exist at that moment and
-  KEEPS RUNNING, re-arming every 80 s — so whenever the driver's own
-  timeout strikes, the stdout tail already holds the newest parsable
-  line. ``"partial": true`` marks watchdog emissions; the final
-  non-partial line supersedes them when the run completes. The exit is
-  PROGRESS-ANCHORED: the relay charges every fresh process a 200-470 s
-  cold start on its FIRST jit dispatch (measured 277 s for a trivial
-  program, 471 s under contention; compile cache notwithstanding), so the
-  watchdog only self-exits once training has had >=160 s to produce
-  windows after that spin-up — or at ``BENCH_HARD_EXIT_SECS`` (900) for
-  true hangs. Zero-window fires emit with
-  ``"status": "no_windows_yet_cold_start"`` (value 0.0 = "not measured",
-  never "measured zero"); fires with windows emit ``"status": "ok"``.
+- **Watchdog**: a daemon THREAD (armed before the first JAX call; default
+  first fire 280 s, ``BENCH_WATCHDOG_SECS``) emits a JSON line from
+  whatever steady windows exist at that moment and KEEPS RUNNING,
+  re-firing every 80 s — so whenever the driver's own timeout strikes,
+  the stdout tail already holds the newest parsable line. A thread (not
+  ``signal.alarm``) because the axon backend probe itself was measured
+  hanging >400 s inside a blocked C call, where a signal handler never
+  gets to run; such a hang now emits ``"status": "stalled_at_<stage>"``
+  lines instead of rc=124 silence. ``"partial": true`` marks watchdog
+  emissions; the final non-partial line supersedes them when the run
+  completes. The exit is PROGRESS-ANCHORED: the relay charges every fresh
+  process a 200-470 s cold start on its FIRST jit dispatch (measured
+  277 s for a trivial program, 471 s under contention; compile cache
+  notwithstanding), so the watchdog only self-exits once training has had
+  >=160 s to produce windows after that spin-up — or at
+  ``BENCH_HARD_EXIT_SECS`` (900) for true hangs. Zero-window fires after
+  training started emit ``"status": "no_windows_yet_cold_start"`` (value
+  0.0 = "not measured", never "measured zero"); fires with windows emit
+  ``"status": "ok"``.
 - **Statistics**: value = trimmed mean (min/max dropped) of the steady
   windows (first window discarded: it carries jit compile + upload);
   ``windows_qps_per_chip`` lists every window so the spread is visible;
@@ -52,9 +57,9 @@ from __future__ import annotations
 
 import json
 import os
-import signal
 import sys
 import tempfile
+import threading
 import time
 
 # Persistent compilation cache: repeated bench runs skip the (remote,
@@ -87,8 +92,10 @@ def _note(msg: str) -> None:
           flush=True)
 
 
-def _read_windows(train_dir: str) -> list:
+def _read_windows(train_dir) -> list:
     qps = []
+    if train_dir is None:
+        return qps
     path = os.path.join(train_dir, "metrics.jsonl")
     if not os.path.exists(path):
         return qps
@@ -132,9 +139,85 @@ def _emit(train_dir: str, n_chips: int, batch_size: int,
     }), flush=True)
 
 
+class _Watchdog(threading.Thread):
+    """Deadline thread armed BEFORE the first JAX call.
+
+    Round-3 hardening: the axon backend probe itself (``jax.devices()`` /
+    ``jax.default_backend()``) was measured hanging >400 s when the relay
+    is down — inside a blocked C call, where a ``signal.alarm`` handler
+    never runs (the main thread must re-enter Python bytecode for the
+    handler to execute). A daemon THREAD keeps firing regardless of what
+    the main thread blocks on, so a parsable JSON line reaches stdout even
+    if the very first backend touch hangs forever.
+
+    Firing schedule: first at ``first_fire`` s (BENCH_WATCHDOG_SECS), then
+    every 80 s. Each firing with measurement windows (or a stall past the
+    grace conditions) emits a ``"partial": true`` JSON line; the thread
+    exits the process at ``hard_exit`` s (BENCH_HARD_EXIT_SECS) or once
+    training has had >=160 s after the 200-470 s per-process relay cold
+    start (progress-anchored — see module docstring).
+    """
+
+    def __init__(self, first_fire: int, hard_exit: int):
+        super().__init__(daemon=True, name="bench-watchdog")
+        self.first_fire = first_fire
+        self.hard_exit = hard_exit
+        self.stage = "imports"          # advanced by main() as it proceeds
+        self.train_dir = None           # set once the trainer exists
+        self.train_started = 0.0        # set on entering fit_resident
+        self.n_chips = 1
+        self.batch_size = 256
+        self.fires = 0
+        self.done = threading.Event()
+
+    def run(self) -> None:
+        next_fire = _t0 + self.first_fire
+        while not self.done.wait(timeout=max(0.5, next_fire - time.time())):
+            if time.time() < next_fire - 0.25:  # spurious wakeup
+                continue
+            self.fires += 1
+            elapsed = time.time() - _t0
+            trained = (time.time() - self.train_started) \
+                if self.train_started else 0.0
+            windows = _read_windows(self.train_dir)
+            last = (elapsed >= self.hard_exit
+                    or (self.fires >= 4 and trained >= 160))
+            # The legitimate cold-start stages (the first jit dispatch
+            # costs 200-470 s through the relay) stay silent while they
+            # wait so a mid-run driver parse never sees a value-0 line
+            # ahead of real windows; every other zero-window stall (e.g.
+            # the backend probe hanging with the relay down) emits
+            # immediately — rc=124 silence is the one unacceptable outcome.
+            cold_start = (not windows and not last
+                          and self.stage in ("init_state", "fit_resident"))
+            if cold_start:
+                _note(f"WATCHDOG fired ({self.fires}) — no windows yet "
+                      f"(stage={self.stage}, trained {trained:.0f}s), "
+                      "re-arming")
+            else:
+                if windows:
+                    status = "ok"
+                elif self.train_started or self.stage == "init_state":
+                    status = "no_windows_yet_cold_start"
+                else:
+                    status = f"stalled_at_{self.stage}"
+                _note(f"WATCHDOG fired ({self.fires}) at stage="
+                      f"{self.stage} — emitting "
+                      f"{'final' if last else 'partial'} result")
+                _emit(self.train_dir, self.n_chips, self.batch_size,
+                      partial=True, status=status)
+            if last:
+                os._exit(0)
+            next_fire = time.time() + 80
+
+
 def main() -> None:
     watchdog = int(os.environ.get("BENCH_WATCHDOG_SECS", "280"))
-    _note(f"start: backend probe next; watchdog={watchdog}s")
+    hard_exit = int(os.environ.get("BENCH_HARD_EXIT_SECS", "900"))
+    wd = _Watchdog(watchdog, hard_exit)
+    wd.start()
+    _note(f"start: backend probe next; watchdog={watchdog}s "
+          f"(hard exit {hard_exit}s)")
 
     from vqa_transfer_externaldata_tpu.config import Config
     from vqa_transfer_externaldata_tpu.data.datasets import (
@@ -142,8 +225,16 @@ def main() -> None:
     from vqa_transfer_externaldata_tpu.models.zoo import build_model
     from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
 
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # CPU smoke runs: the axon plugin's sitecustomize forces
+        # jax_platforms="axon,cpu" programmatically (overriding the env
+        # var), and its backend probe blocks >400 s when the relay is
+        # down — opt all the way out the same way tests/conftest.py does.
+        jax.config.update("jax_platforms", "cpu")
+    wd.stage = "backend_probe"  # jax.default_backend() hung >400 s once
     on_tpu = jax.default_backend() != "cpu"
     batch_size = 256 if on_tpu else 32
+    wd.batch_size = batch_size
     window = 128 if on_tpu else 3
     n_windows = int(os.environ.get("BENCH_WINDOWS", "8" if on_tpu else "4"))
     overrides = {
@@ -191,6 +282,7 @@ def main() -> None:
     # round-2's 512-image store upload alone took ~160 s that day).
     n_questions = 4096 if on_tpu else 256
     n_images = 256 if on_tpu else 32
+    wd.stage = "dataset_build"
     ds = synthetic_vqa_joined(cfg, n_questions=n_questions,
                               n_images=n_images, seed=0)
     _note(f"dataset ready: {len(ds)} questions / {n_images} images")
@@ -201,52 +293,22 @@ def main() -> None:
     n_chips = trainer.mesh.devices.size
     _note(f"trainer ready (train_dir={train_dir})")
 
-    # Watchdog: from here on a timeout still produces a JSON line (from
-    # however many windows completed) instead of rc=124 with no output.
-    # Each firing emits the current state and re-arms, so the newest
-    # parsable line is on stdout whenever the driver's timeout strikes.
-    fires = [0]
-    train_started = [0.0]  # set when fit_resident is entered
-    hard_exit = int(os.environ.get("BENCH_HARD_EXIT_SECS", "900"))
-
-    def on_alarm(signum, frame):
-        fires[0] += 1
-        elapsed = time.time() - _t0
-        # Progress-anchored exit: the per-process cold start is 200-470 s
-        # (measured; pure relay/compile-service spin-up, unrelated to this
-        # code), so counting fires from t0 alone can kill the run seconds
-        # after training finally starts (round-3 run 1: init at 471 s,
-        # killed at 526 s with ZERO windows). Exit only once training has
-        # had >=160 s (2 fires) to produce windows — or at the absolute
-        # BENCH_HARD_EXIT_SECS cap for true hangs.
-        trained_for = (time.time() - train_started[0]) \
-            if train_started[0] else 0.0
-        last = (elapsed >= hard_exit
-                or (fires[0] >= 4 and trained_for >= 160))
-        have_windows = bool(_read_windows(train_dir))
-        if have_windows or last:
-            _note(f"WATCHDOG fired ({fires[0]}) — emitting "
-                  f"{'final' if last else 'partial'} result")
-            _emit(train_dir, n_chips, batch_size, partial=True,
-                  status="ok" if have_windows
-                  else "no_windows_yet_cold_start")
-        else:
-            _note(f"WATCHDOG fired ({fires[0]}) — no windows yet "
-                  f"(trained {trained_for:.0f}s), re-arming")
-        if last:
-            os._exit(0)
-        signal.alarm(80)
-
-    signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(max(1, watchdog - int(time.time() - _t0)))
+    # From here the watchdog reads real measurement windows: any firing
+    # emits a JSON line from however many windows completed instead of
+    # letting an external timeout produce rc=124 with no output.
+    wd.train_dir = train_dir
+    wd.n_chips = n_chips
+    wd.stage = "init_state"
 
     state = trainer.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
     _note("state initialized; entering fit_resident (first window = "
           "compile + upload)")
-    train_started[0] = time.time()
+    wd.train_started = time.time()
+    wd.stage = "fit_resident"
     state = trainer.fit_resident(ds, state)
     _note("training done")
 
+    wd.stage = "post_train"
     if os.environ.get("BENCH_EVAL"):
         # Secondary (stderr, recorded in BASELINE.md): full-split eval q/s
         # through the device-resident evaluator. Off by default — its
@@ -261,7 +323,7 @@ def main() -> None:
               f"acc={metrics.get('accuracy', float('nan')):.4f}")
     trainer.close()
 
-    signal.alarm(0)
+    wd.done.set()
     _emit(train_dir, n_chips, batch_size, partial=False)
 
 

@@ -1,0 +1,94 @@
+"""Unit tests for bench.py's driver-provability watchdog.
+
+The one unacceptable bench outcome is rc=124 with no parsable JSON on
+stdout (BENCH_r02.json). The watchdog is a daemon thread armed before the
+first JAX call because the axon backend probe was measured hanging >400 s
+inside a blocked C call — where a ``signal.alarm`` handler never runs.
+These tests drive the thread's state machine directly (no TPU, no hang).
+"""
+
+import json
+import os
+import time
+
+import pytest
+
+import bench
+
+
+def _drain_emits(capfd):
+    out, _ = capfd.readouterr()
+    return [json.loads(line) for line in out.splitlines()
+            if line.startswith("{")]
+
+
+def test_watchdog_emits_on_backend_stall(monkeypatch, capfd):
+    """A hang before training (e.g. the backend probe with the relay down)
+    must put a parsable stalled-status JSON line on stdout, then exit."""
+    exits = []
+    wd = bench._Watchdog(first_fire=0, hard_exit=0)  # fire + hard-exit now
+
+    def fake_exit(code):  # ends the watchdog loop cleanly via its Event
+        exits.append(code)
+        wd.done.set()
+
+    monkeypatch.setattr(os, "_exit", fake_exit)
+    wd.stage = "backend_probe"
+    wd.start()
+    wd.join(timeout=10)
+    assert not wd.is_alive()
+    assert exits == [0]
+    emits = _drain_emits(capfd)
+    assert emits, "stalled watchdog must emit a JSON line"
+    last = emits[-1]
+    assert last["status"] == "stalled_at_backend_probe"
+    assert last["partial"] is True
+    assert last["value"] == 0.0  # "not measured", never "measured zero"
+
+
+def test_watchdog_stays_silent_during_cold_start(monkeypatch, capfd):
+    """The first jit dispatch legitimately costs 200-470 s through the
+    relay: zero-window fires during init_state/fit_resident re-arm
+    silently (no value-0 line ahead of real windows)."""
+    wd = bench._Watchdog(first_fire=0, hard_exit=10**6)
+    monkeypatch.setattr(os, "_exit", lambda code: wd.done.set())
+    wd.stage = "init_state"
+    wd.train_started = time.time()
+    wd.start()
+    deadline = time.time() + 10
+    while wd.fires < 1 and time.time() < deadline:
+        time.sleep(0.05)
+    wd.done.set()
+    wd.join(timeout=10)
+    assert wd.fires >= 1
+    assert _drain_emits(capfd) == []
+
+
+def test_watchdog_emits_windows_when_present(monkeypatch, capfd, tmp_path):
+    """Once measurement windows exist, a fire emits status=ok with the
+    trimmed-mean value read from the trainer's own metrics.jsonl."""
+    metrics = tmp_path / "metrics.jsonl"
+    with open(metrics, "w") as fh:
+        for qps in (1000.0, 2000.0, 2200.0, 2400.0, 9000.0):
+            fh.write(json.dumps({"train/questions_per_sec": qps}) + "\n")
+    exits = []
+    wd = bench._Watchdog(first_fire=0, hard_exit=0)
+
+    def fake_exit(code):
+        exits.append(code)
+        wd.done.set()
+
+    monkeypatch.setattr(os, "_exit", fake_exit)
+    wd.stage = "fit_resident"
+    wd.train_dir = str(tmp_path)
+    wd.train_started = time.time()
+    wd.start()
+    wd.join(timeout=10)
+    assert exits == [0]
+    last = _drain_emits(capfd)[-1]
+    assert last["status"] == "ok"
+    assert last["partial"] is True
+    # First window (compile+upload) dropped, then min/max trimmed:
+    # steady = [2000, 2200, 2400, 9000] -> trimmed mean of [2200, 2400].
+    assert last["value"] == pytest.approx(2300.0)
+    assert last["best_window_qps_per_chip"] == pytest.approx(9000.0)
