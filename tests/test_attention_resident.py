@@ -186,3 +186,48 @@ def test_int8_store_quantization_accuracy(data):
     assert rel < 0.01, rel
     agree = (np.asarray(al_q).argmax(1) == np.asarray(al_f).argmax(1))
     assert agree.mean() >= 0.9, agree.mean()
+
+
+def test_int8_store_under_shard_map(data, eight_cpu_devices):
+    """Quantized store under the multi-chip execution contract: int8
+    codes + store_scale through jax.shard_map (store replicated,
+    rows/qh sharded) == the direct single-program quantized op —
+    forward AND gradients. Pins that the scale folds (wv pre-scale,
+    v_att/dwv post-scales, cotangent pre-scale) commute with the
+    per-device B/n grids and the psum'd dwv/dws transpose."""
+    from vqa_transfer_externaldata_tpu.ops.attention_resident import (
+        quantize_store)
+
+    store, rows, qh, wv, ws, N = data
+    g32 = store / np.sqrt(
+        np.sum(store ** 2, axis=-1, keepdims=True) + 1e-12)
+    q, scale = quantize_store(g32)
+    padded = jnp.asarray(pad_store_rows(q))
+    mesh = jax.sharding.Mesh(np.array(eight_cpu_devices[:2]), ("data",))
+
+    def loss(fn, qh, wv, ws):
+        va, al = fn(qh, wv, ws)
+        return jnp.sum(va ** 2) + jnp.sum(al ** 3)
+
+    def direct(qh, wv, ws):
+        return spatial_attention_resident(
+            padded, jnp.asarray(rows), qh, wv, ws, n_valid=N,
+            normalize=False, interpret=True, store_scale=scale)
+
+    def sharded(qh, wv, ws):
+        return spatial_attention_resident(
+            padded, jnp.asarray(rows), qh, wv, ws, n_valid=N,
+            normalize=False, interpret=True, store_scale=scale,
+            mesh=mesh, data_axis="data")
+
+    args = (jnp.asarray(qh), jnp.asarray(wv), jnp.asarray(ws))
+    for name, a, b in zip(("v_att", "alpha"), jax.jit(sharded)(*args),
+                          direct(*args)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+    g_d = jax.grad(lambda *a: loss(direct, *a), argnums=(0, 1, 2))(*args)
+    g_s = jax.jit(jax.grad(lambda *a: loss(sharded, *a),
+                           argnums=(0, 1, 2)))(*args)
+    for name, a, b in zip(("dqh", "dwv", "dws"), g_s, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
