@@ -86,6 +86,12 @@ DEVICE_STEP_MS_PROFILED = 2.77
 
 _t0 = time.time()
 
+# Serializes watchdog partial emissions against main's final emission so
+# (a) a partial line can never print AFTER the final line (a driver reading
+# the newest parsable stdout line must get the final record) and (b) the
+# watchdog's os._exit can never truncate the final line mid-print.
+_EMIT_LOCK = threading.Lock()
+
 
 def _note(msg: str) -> None:
     print(f"[bench +{time.time() - _t0:6.1f}s] {msg}", file=sys.stderr,
@@ -201,12 +207,17 @@ class _Watchdog(threading.Thread):
                     status = "no_windows_yet_cold_start"
                 else:
                     status = f"stalled_at_{self.stage}"
-                _note(f"WATCHDOG fired ({self.fires}) at stage="
-                      f"{self.stage} — emitting "
-                      f"{'final' if last else 'partial'} result")
-                _emit(self.train_dir, self.n_chips, self.batch_size,
-                      partial=True, status=status)
+                with _EMIT_LOCK:
+                    if self.done.is_set():  # main already emitted final
+                        return
+                    _note(f"WATCHDOG fired ({self.fires}) at stage="
+                          f"{self.stage} — emitting "
+                          f"{'final' if last else 'partial'} result")
+                    _emit(self.train_dir, self.n_chips, self.batch_size,
+                          partial=True, status=status)
             if last:
+                if self.done.is_set():  # main is finishing — let it
+                    return
                 os._exit(0)
             next_fire = time.time() + 80
 
@@ -333,8 +344,28 @@ def main() -> None:
         try:
             from tools.trace_summary import summarize
 
+            # The trainer starts/stops the trace only at dispatch
+            # boundaries (stepno advances by steps_per_call, clamped at
+            # max_steps), so the traced step count is NOT simply
+            # BENCH_PROFILE — simulate the boundary walk for the exact
+            # divisor (e.g. BENCH_PROFILE=100 at k=32 actually traces 128
+            # steps; dividing by 100 would overstate the step 28%).
+            k_steps = overrides["train.steps_per_call"]
+            start = overrides["train.profile_start"]
+            until = start + overrides["train.profile_steps"]
+            max_s = overrides["train.max_steps"]
+            s, t_start, t_stop = 0, None, None
+            while s < max_s:
+                if t_start is None and start <= s < until:
+                    t_start = s
+                s += min(k_steps, max_s - s)
+                if t_start is not None and s >= until:
+                    t_stop = s
+                    break
+            traced = ((t_stop if t_stop is not None else max_s) - t_start
+                      if t_start is not None else 0)
             res = summarize(os.path.join(train_dir, "profile"),
-                            steps=int(os.environ["BENCH_PROFILE"]), top=0)
+                            steps=max(traced, 1), top=0)
             extra["device_step_ms_measured"] = res["device_step_ms"]
             extra["ceiling_qps_per_chip_measured"] = round(
                 batch_size / res["device_step_ms"] * 1000.0, 1)
@@ -343,8 +374,9 @@ def main() -> None:
         except BaseException as e:  # CPU-only trace, missing dir, ...
             _note(f"trace summary skipped: {e}")
 
-    wd.done.set()
-    _emit(train_dir, n_chips, batch_size, partial=False, extra=extra)
+    with _EMIT_LOCK:
+        wd.done.set()
+        _emit(train_dir, n_chips, batch_size, partial=False, extra=extra)
 
 
 if __name__ == "__main__":

@@ -66,6 +66,23 @@ def test_profile_flag_writes_trace(tmp_path):
     assert traces, "profiler trace not written"
 
 
+def test_profile_window_past_max_steps_still_writes_trace(tmp_path):
+    """profile_start + profile_steps > max_steps: the stop boundary is
+    never reached inside the loop — the trace must still be closed (and
+    written) at training end instead of leaking unterminated."""
+    d = str(tmp_path / "prof_trunc_run")
+    train_cli.main(TINY + ["--model.model", "vqa_baseline",
+                           "--train.train_dir", d,
+                           "--train.max_steps", "4",
+                           "--train.profile_start", "2",
+                           "--train.profile_steps", "100"])
+    import glob
+
+    traces = glob.glob(os.path.join(d, "profile", "**", "*.json.gz"),
+                       recursive=True)
+    assert traces, "truncated profiler trace not written"
+
+
 def test_eval_cli_adopts_saved_config_with_overrides(tmp_path):
     d = train_cli.main(TINY + ["--model.model", "vqa_baseline",
                                "--train.train_dir",

@@ -73,3 +73,62 @@ def test_summarize_end_to_end(tmp_path):
     assert res["device_step_ms"] == 2.0
     assert res["ops"] == {"kern.1": 3.0, "while.5": 1.0}
     assert find_trace(str(tmp_path)).endswith("vm.trace.json.gz")
+
+
+def test_summarize_multi_device_tracks_swept_separately(tmp_path):
+    """Two devices' op tracks overlap in time; pooling them into one
+    interval sweep would nest device B's `while` inside device A's and
+    corrupt (even negate) self-times. Each (pid, tid) track must be
+    swept separately and the per-name totals summed."""
+    events = []
+    for pid in (3, 4):
+        events += [
+            {"ph": "M", "pid": pid, "name": "process_name",
+             "args": {"name": f"/device:TPU:{pid - 3}"}},
+            {"ph": "M", "pid": pid, "tid": 2, "name": "thread_name",
+             "args": {"name": "XLA Modules"}},
+            {"ph": "M", "pid": pid, "tid": 3, "name": "thread_name",
+             "args": {"name": "XLA Ops"}},
+            # Identical concurrent timelines on both devices:
+            # while [0,4000) > kern [100,3100)
+            {"ph": "X", "pid": pid, "tid": 2, "name": "jit_step",
+             "ts": 0, "dur": 4000.0},
+            {"ph": "X", "pid": pid, "tid": 3, "name": "while.5",
+             "ts": 0, "dur": 4000.0},
+            {"ph": "X", "pid": pid, "tid": 3, "name": "kern.1",
+             "ts": 100, "dur": 3000.0},
+        ]
+    d = tmp_path / "plugins" / "profile" / "run"
+    d.mkdir(parents=True)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as fh:
+        json.dump({"traceEvents": events}, fh)
+    res = summarize(str(tmp_path), steps=2, top=5)
+    assert res["devices"] == 2 and res["dispatches"] == 2
+    assert res["modules_ms"] == 4.0      # per-device mean
+    assert res["device_step_ms"] == 2.0
+    # Per-device self-times: kern 3 ms, while 1 ms (NOT while -3 ms).
+    assert res["ops"] == {"kern.1": 3.0, "while.5": 1.0}
+
+
+def test_summarize_top_zero_skips_op_sweep(tmp_path):
+    """top=0 (bench.py's final-emit path) wants only modules_ms /
+    device_step_ms — the op sweep must be skipped entirely."""
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 3, "tid": 2, "name": "thread_name",
+         "args": {"name": "XLA Modules"}},
+        {"ph": "M", "pid": 3, "tid": 3, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "X", "pid": 3, "tid": 2, "name": "jit_step", "ts": 0,
+         "dur": 1000.0},
+        {"ph": "X", "pid": 3, "tid": 3, "name": "kern.1", "ts": 0,
+         "dur": 900.0},
+    ]
+    d = tmp_path / "plugins" / "profile" / "run"
+    d.mkdir(parents=True)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as fh:
+        json.dump({"traceEvents": events}, fh)
+    res = summarize(str(tmp_path), steps=1, top=0)
+    assert res["ops"] == {}
+    assert res["device_step_ms"] == 1.0

@@ -589,6 +589,14 @@ def test_int8_store_trains_and_evals_close_to_float(tiny_config, tmp_path,
     assert (pf == pq).mean() > 0.7
     np.testing.assert_allclose(mq["loss"], mf["loss"], rtol=0.05)
 
+    # Unknown quantization modes fail loudly (a silent float fallback
+    # would corrupt any quantized-vs-float A/B comparison).
+    cfg = base.replace_flat({"train.store_quantize": "int4"})
+    tr = Trainer(cfg, build_model(cfg), train_dir=str(tmp_path / "qbad"))
+    with pytest.raises(ValueError, match="store_quantize"):
+        tr._prepare_resident(joined())
+    tr.close()
+
 
 def test_sort_batch_by_image_is_training_invariant(tiny_config, tmp_path,
                                                    eight_cpu_devices):

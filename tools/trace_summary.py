@@ -91,7 +91,12 @@ def summarize(path: str, steps: int | None, top: int) -> dict:
         raise SystemExit(f"no TPU device pid in {trace_file} "
                          "(CPU-only trace?)")
     modules_us = 0.0
-    ops_events: List[dict] = []
+    # Per-(pid, tid) op tracks: events from different devices overlap in
+    # time, so pooling them into ONE interval sweep would treat device B's
+    # events as children of device A's (negative/garbage self-times).
+    # Sweep each device track separately and sum the per-name totals.
+    ops_tracks: Dict[Tuple[int, int], List[dict]] = \
+        collections.defaultdict(list)
     dispatches = 0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in pids:
@@ -101,8 +106,11 @@ def summarize(path: str, steps: int | None, top: int) -> dict:
             modules_us += e.get("dur", 0.0)
             dispatches += 1
         elif name == "XLA Ops":
-            ops_events.append(e)
-    ops = self_times(ops_events)
+            ops_tracks[(e["pid"], e["tid"])].append(e)
+    ops: collections.Counter = collections.Counter()
+    if top:  # the sweep is O(n log n) over a possibly huge track — skip
+        for track in ops_tracks.values():  # it when only modules_ms is
+            ops.update(self_times(track))  # wanted (top=0)
     n_dev = len(pids)
     result = {
         "trace": trace_file,

@@ -407,10 +407,15 @@ class Trainer:
                  step, max_steps, t.batch_size, self.mesh)
         profile_until = (t.profile_start + t.profile_steps
                          if t.profile_steps else -1)
+        profiling = False
         while step < max_steps:
-            if t.profile_steps and step == t.profile_start:
+            if (t.profile_steps and not profiling
+                    and step >= t.profile_start and step < profile_until):
+                # >= (not ==): dispatch boundaries advance by
+                # steps_per_call, so profile_start may never be hit exactly.
                 jax.profiler.start_trace(
                     os.path.join(self.train_dir, "profile"))
+                profiling = True
                 log.info("profiler trace started (steps %d..%d)",
                          step, profile_until)
             # Tail dispatch clamps to max_steps (one extra compile via
@@ -427,11 +432,11 @@ class Trainer:
                 batch = put_sharded(batch, self._bshard)
             state, pending = self._step_for(k)(state, batch)
             step += k
-            if t.profile_steps and step >= profile_until > 0:
+            if profiling and step >= profile_until:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), pending)
                 jax.profiler.stop_trace()
-                profile_until = -1
+                profiling = False
                 log.info("profiler trace written to %s/profile",
                          self.train_dir)
             if step >= next_log or step >= max_steps:
@@ -458,6 +463,14 @@ class Trainer:
                          {k: round(v, 4) for k, v in eval_metrics.items()})
             if self.ckpt.save(step, state) and stateful_input:
                 self.ckpt.save_data_iter(step, train_batches.get_state())
+        if profiling:
+            # profile window exceeded max_steps — close the trace instead
+            # of leaking an unterminated profile (same as fit_resident).
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready(), pending)
+            jax.profiler.stop_trace()
+            log.info("profiler trace (truncated at max_steps) written to "
+                     "%s/profile", self.train_dir)
         self.ckpt.wait()
         final = int(jax.device_get(state.step))
         if self.ckpt.latest_step() != final:
@@ -683,6 +696,14 @@ class Trainer:
                 log.info("eval @ %d: %s", stepno,
                          {k: round(v, 4) for k, v in eval_metrics.items()})
             self.ckpt.save(stepno, state)
+        if profiling:
+            # profile_start + profile_steps exceeded max_steps: the stop
+            # boundary was never reached inside the loop — close the trace
+            # at training end instead of leaking an unterminated profile.
+            jax.device_get(pending)
+            jax.profiler.stop_trace()
+            log.info("profiler trace (truncated at max_steps) written to "
+                     "%s/profile", self.train_dir)
         self.ckpt.wait()
         final = int(jax.device_get(state.step))
         if self.ckpt.latest_step() != final:
@@ -762,6 +783,12 @@ class Trainer:
                     import pad_store_rows
 
                 quantize = self.cfg.train.store_quantize
+                if quantize not in ("", "int8"):
+                    # Fail loudly: silently measuring a float store under
+                    # a quantized-run label would corrupt any A/B.
+                    raise ValueError(
+                        f"train.store_quantize={quantize!r}: only 'int8' "
+                        "is supported (or '' for the exact-math store)")
                 if getattr(self.spec.module, "store_prenormalized", False):
                     # Normalize each cell ONCE here (f32, the kernel's
                     # rsqrt(ssq + 1e-12) convention) so the fwd+bwd
