@@ -145,6 +145,27 @@ def _emit(train_dir, n_chips: int, batch_size: int,
     }, **(extra or {}))), flush=True)
 
 
+def _traced_steps(start: int, until: int, k: int, max_steps: int) -> int:
+    """Steps actually spanned by a profiler trace that starts/stops only
+    at the trainer's dispatch boundaries (stepno advances by
+    ``min(k, max_steps - stepno)``; fit_resident starts the trace at the
+    first boundary in ``[start, until)`` and stops at the first boundary
+    ``>= until``, or at ``max_steps`` — trainer.py). The exact divisor
+    for ``device_step_ms_measured``: e.g. BENCH_PROFILE=100 at k=32
+    traces 128 steps, and dividing by 100 would overstate the step 28%."""
+    s, t_start, t_stop = 0, None, None
+    while s < max_steps:
+        if t_start is None and start <= s < until:
+            t_start = s
+        s += min(k, max_steps - s)
+        if t_start is not None and s >= until:
+            t_stop = s
+            break
+    if t_start is None:
+        return 0
+    return (t_stop if t_stop is not None else max_steps) - t_start
+
+
 class _Watchdog(threading.Thread):
     """Deadline thread armed BEFORE the first JAX call.
 
@@ -344,26 +365,11 @@ def main() -> None:
         try:
             from tools.trace_summary import summarize
 
-            # The trainer starts/stops the trace only at dispatch
-            # boundaries (stepno advances by steps_per_call, clamped at
-            # max_steps), so the traced step count is NOT simply
-            # BENCH_PROFILE — simulate the boundary walk for the exact
-            # divisor (e.g. BENCH_PROFILE=100 at k=32 actually traces 128
-            # steps; dividing by 100 would overstate the step 28%).
-            k_steps = overrides["train.steps_per_call"]
             start = overrides["train.profile_start"]
-            until = start + overrides["train.profile_steps"]
-            max_s = overrides["train.max_steps"]
-            s, t_start, t_stop = 0, None, None
-            while s < max_s:
-                if t_start is None and start <= s < until:
-                    t_start = s
-                s += min(k_steps, max_s - s)
-                if t_start is not None and s >= until:
-                    t_stop = s
-                    break
-            traced = ((t_stop if t_stop is not None else max_s) - t_start
-                      if t_start is not None else 0)
+            traced = _traced_steps(
+                start, start + overrides["train.profile_steps"],
+                overrides["train.steps_per_call"],
+                overrides["train.max_steps"])
             res = summarize(os.path.join(train_dir, "profile"),
                             steps=max(traced, 1), top=0)
             extra["device_step_ms_measured"] = res["device_step_ms"]

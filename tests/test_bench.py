@@ -92,3 +92,23 @@ def test_watchdog_emits_windows_when_present(monkeypatch, capfd, tmp_path):
     # steady = [2000, 2200, 2400, 9000] -> trimmed mean of [2200, 2400].
     assert last["value"] == pytest.approx(2300.0)
     assert last["best_window_qps_per_chip"] == pytest.approx(9000.0)
+
+
+@pytest.mark.parametrize("start,prof,k,max_steps,expect", [
+    (128, 384, 32, 1024, 384),   # aligned: exact
+    (128, 100, 32, 1024, 128),   # unaligned: rounds up to boundary
+    (128, 384, 128, 1024, 384),  # k = window
+    (100, 10, 32, 1024, 0),      # window [100,110) contains NO dispatch
+                                 # boundary: the trainer never starts the
+                                 # trace (profile windows shorter than
+                                 # steps_per_call can be skipped entirely)
+    (128, 10000, 32, 256, 128),  # window past max_steps: truncated
+    (10000, 10, 32, 256, 0),     # start past max_steps: never traced
+    (0, 5, 7, 20, 7),            # non-divisible tail steps
+])
+def test_traced_steps_matches_dispatch_boundaries(start, prof, k,
+                                                  max_steps, expect):
+    """bench's divisor simulation must mirror the trainer's boundary walk
+    (start at first boundary in [start, until), stop at first boundary
+    >= until or at max_steps — trainer.fit_resident)."""
+    assert bench._traced_steps(start, start + prof, k, max_steps) == expect
