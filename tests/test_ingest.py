@@ -114,3 +114,90 @@ def test_two_glimpse_variant(tiny_config):
         p, *spec.inputs(batch), train=False), batch)[0])(params)
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_grain_iterator_joins_feature_store(tmp_path):
+    """--data.input_pipeline grain over a feature-store-backed dataset:
+    every batch must carry the joined features/pool5 keys (the join runs
+    per row through JoinedDataset.take)."""
+    from vqa_transfer_externaldata_tpu.data.features import (
+        FeatureStore, JoinedDataset)
+    from vqa_transfer_externaldata_tpu.data.grain_loader import (
+        GrainTrainIterator)
+
+    rng = np.random.default_rng(0)
+    M, n = 4, 16
+    store_path = str(tmp_path / "store.npz")
+    np.savez(store_path,
+             grid=rng.normal(size=(M, 2, 2, 8)).astype(np.float16),
+             pool5=rng.normal(size=(M, 8)).astype(np.float32),
+             image_ids=np.arange(M, dtype=np.int64))
+    rows = {
+        "q_ids": rng.integers(0, 9, size=(n, 3)).astype(np.int32),
+        "answer_id": rng.integers(0, 5, size=n).astype(np.int32),
+        "image_index": rng.integers(0, M, size=n).astype(np.int32),
+    }
+    ds = JoinedDataset(rows, FeatureStore(store_path),
+                       index_key="image_index",
+                       feature_keys=("features", "pool5"))
+    it = GrainTrainIterator(ds, batch_size=8, seed=0)
+    batch = next(it)
+    assert batch["features"].shape == (8, 4, 8)  # grid flattened to [N, C]
+    assert batch["pool5"].shape == (8, 8)
+    # The joined features match the store row each sample points at.
+    ref = np.asarray(np.load(store_path)["grid"],
+                     np.float16).reshape(M, 4, 8)
+    for b in range(8):
+        np.testing.assert_array_equal(
+            np.asarray(batch["features"][b], np.float16),
+            ref[int(batch["image_index"][b])])
+
+
+def test_grain_iterator_shards_are_disjoint_and_cover():
+    """shard=(pi, pc): every process batches a disjoint stride of the SAME
+    seeded epoch permutation with local batch_size/pc rows (the Trainer
+    assembles the global batch from process-local rows)."""
+    from vqa_transfer_externaldata_tpu.data.datasets import ArrayDataset
+    from vqa_transfer_externaldata_tpu.data.grain_loader import (
+        GrainTrainIterator)
+
+    n = 24
+    rows = {"answer_id": np.arange(n, dtype=np.int32)}
+    ds = ArrayDataset(rows)
+    global_batch = 8
+    full = next(GrainTrainIterator(ds, batch_size=global_batch, seed=1))
+    shard0 = next(GrainTrainIterator(ds, batch_size=global_batch, seed=1,
+                                     shard=(0, 2)))
+    shard1 = next(GrainTrainIterator(ds, batch_size=global_batch, seed=1,
+                                     shard=(1, 2)))
+    assert shard0["answer_id"].shape == (4,)
+    assert shard1["answer_id"].shape == (4,)
+    a, b = set(shard0["answer_id"].tolist()), set(shard1["answer_id"].tolist())
+    assert not (a & b), "shards overlap"
+    # Unsharded batch = stride-interleave of the two shards' rows.
+    assert a | b == set(full["answer_id"].tolist())
+
+
+def test_data_iter_state_pruned_with_checkpoints(tmp_path):
+    """data_iter_<step>.json files follow Orbax's keep-N pruning: states
+    whose model checkpoint was dropped are deleted (they are unusable)."""
+    import glob
+    import os
+
+    import jax.numpy as jnp
+
+    from vqa_transfer_externaldata_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    mgr = CheckpointManager(str(tmp_path), keep=2, save_every=1)
+    state = {"w": jnp.zeros((2,))}
+    for step in (1, 2, 3, 4):
+        assert mgr.save(step, state, force=True)
+        mgr.wait()
+        mgr.save_data_iter(step, {"next_index": step * 10})
+    mgr.close()
+    left = sorted(os.path.basename(p) for p in glob.glob(
+        os.path.join(str(tmp_path), "ckpt", "data_iter_*.json")))
+    kept = {int(p.split("_")[2].split(".")[0]) for p in left}
+    assert 4 in kept and len(kept) <= 3, left  # old states pruned
+    assert mgr.restore_data_iter(4) == {"next_index": 40}

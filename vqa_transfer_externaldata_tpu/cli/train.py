@@ -108,7 +108,8 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
                         "device_data_cache is ignored")
         train_iter = GrainTrainIterator(
             train_ds, batch_size=cfg.train.batch_size, seed=cfg.train.seed,
-            workers=cfg.data.grain_workers)
+            workers=cfg.data.grain_workers,
+            shard=(jax.process_index(), jax.process_count()))
         if resumed:
             it_state = trainer.ckpt.restore_data_iter()
             if it_state is not None:

@@ -46,7 +46,11 @@ class DataConfig:
     # Raw-image (end2end, BASELINE config 5) inputs: JPEG directory joined
     # against the question table's image_ids (official COCO naming).
     image_dir: str = ""
-    coco_split: str = "train2014"
+    # "" = derive from the dataset split (official COCO naming embeds the
+    # split: train->train2014, val->val2014, test/test-dev->test2015);
+    # set explicitly only for non-standard image layouts — the override
+    # then applies to EVERY split.
+    coco_split: str = ""
     # "threads" (in-repo thread-pool decode, data/ingest.py) or "grain"
     # (deterministic, checkpointable grain pipeline — iterator state is
     # saved alongside each Orbax checkpoint so resume is sample-exact;

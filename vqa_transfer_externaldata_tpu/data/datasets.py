@@ -469,7 +469,14 @@ def load_dataset(cfg: Config, split: str, stage: str = "vqa",
                 f"end2end with data.image_dir needs {ids_path} (store-row "
                 f"-> COCO image id, written by the extraction tool)")
         image_ids = np.load(ids_path)
-        paths = [coco_image_path(cfg.data.image_dir, cfg.data.coco_split,
+        # Official COCO naming embeds the split (COCO_val2014_... for VQA
+        # v2 val questions): derive per dataset split unless explicitly
+        # overridden — a single fixed split name would point every
+        # split's paths at train2014 files.
+        coco_split = cfg.data.coco_split or {
+            "train": "train2014", "val": "val2014",
+            "test": "test2015", "test-dev": "test2015"}.get(split, split)
+        paths = [coco_image_path(cfg.data.image_dir, coco_split,
                                  int(i)) for i in image_ids]
         return ImageQuestionDataset(dict(ds.arrays), paths,
                                     image_size=cfg.data.image_size)

@@ -75,6 +75,27 @@ class _ArraySource:
         return {k: v[i] for k, v in self.arrays.items()}
 
 
+class _JoinedRowSource:
+    """Random-access grain source over a feature-store-backed dataset
+    (data/features.JoinedDataset): every row materializes through the
+    dataset's own ``take()`` so the feature join (``features``/``pool5``/
+    ``feature`` keys) happens per sample, exactly as the thread-pool
+    pipeline's batches do. With ``workers > 0`` the store must be
+    picklable (npz/raw-mmap stores are; an open-HDF5 store is not —
+    use workers=0 there)."""
+
+    def __init__(self, dataset) -> None:
+        self.dataset = dataset
+        self._n = len(dataset)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        row = self.dataset.take(np.array([int(i)]))
+        return {k: v[0] for k, v in row.items()}
+
+
 class GrainTrainIterator:
     """Checkpointable infinite train iterator (``--data.input_pipeline
     grain``): source -> per-epoch shuffle -> repeat -> batch, backed by
@@ -90,17 +111,33 @@ class GrainTrainIterator:
     """
 
     def __init__(self, dataset, *, batch_size: int, seed: int,
-                 workers: int = 0) -> None:
+                 workers: int = 0, shard=(0, 1)) -> None:
         arrays = {k: np.asarray(v) for k, v in dataset.arrays.items()}
         if hasattr(dataset, "image_paths"):  # raw-JPEG (end2end) source
             source = _QuestionImageSource(arrays, dataset.image_paths,
                                           dataset.image_size)
+        elif hasattr(dataset, "store"):  # feature-store join (C5/C7)
+            source = _JoinedRowSource(dataset)
         else:
             source = _ArraySource(arrays)
-        ds = (grain.MapDataset.source(source)
-              .shuffle(seed=seed)
-              .repeat(None)  # infinite: the trainer bounds by max_steps
-              .batch(batch_size, drop_remainder=True))
+        pi, pc = shard
+        if batch_size % pc:
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"process count {pc}")
+        ds = grain.MapDataset.source(source).shuffle(seed=seed)
+        if pc > 1:
+            # Multi-host data parallelism: every process shuffles the SAME
+            # identically-seeded epoch permutation, then takes a disjoint
+            # stride of it — matching the streaming path's shard=(pi, pc).
+            # Each process batches its local batch_size/pc rows; the
+            # Trainer assembles them into the global array
+            # (make_array_from_process_local_data). All processes consume
+            # the same number of elements per step, so the (process-0)
+            # checkpointed iterator state is position-correct for every
+            # process's sliced view.
+            ds = ds[pi::pc]
+        ds = (ds.repeat(None)  # infinite: the trainer bounds by max_steps
+              .batch(batch_size // pc, drop_remainder=True))
         it_ds = ds.to_iter_dataset()
         if workers > 0:
             it_ds = it_ds.mp_prefetch(

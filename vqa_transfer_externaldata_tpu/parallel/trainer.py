@@ -168,7 +168,9 @@ class Trainer:
         self._shard_rules = tuple(
             s.strip() for s in cfg.mesh.shard_params.split(",") if s.strip())
         self._step_cache: Dict[int, Callable] = {}
-        self._train_step = self._step_for(max(1, cfg.train.steps_per_call))
+        # Prime the default-k step now: _build_train_step also records
+        # _raw_step_fn (read by init_state and the resident paths).
+        self._step_for(max(1, cfg.train.steps_per_call))
         self._eval_step = self._build_eval_step()
 
     def _set_module_attrs(self, **updates) -> None:
@@ -185,8 +187,7 @@ class Trainer:
         self.spec = dataclasses.replace(
             self.spec, module=self.spec.module.clone(**updates))
         self._step_cache.clear()
-        self._train_step = self._step_for(
-            max(1, self.cfg.train.steps_per_call))
+        self._step_for(max(1, self.cfg.train.steps_per_call))  # re-prime
         self._eval_step = self._build_eval_step()
 
     def _step_for(self, k: int) -> Callable:

@@ -69,6 +69,22 @@ class CheckpointManager:
         with open(tmp, "w") as fh:
             json.dump(state, fh)
         os.replace(tmp, path)
+        # Mirror Orbax's keep-N pruning: drop iterator states whose model
+        # checkpoint no longer exists (a state without its checkpoint is
+        # unusable and they otherwise accumulate one file per save).
+        import glob
+        import re
+
+        kept = set(self._mngr.all_steps())
+        kept.add(step)
+        for p in glob.glob(os.path.join(self.directory,
+                                        "data_iter_*.json")):
+            m = re.fullmatch(r"data_iter_(\d+)\.json", os.path.basename(p))
+            if m and int(m.group(1)) not in kept:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
     def restore_data_iter(self, step: Optional[int] = None) -> Optional[Dict]:
         """Iterator state saved at ``step`` (default: latest), or None."""
