@@ -191,6 +191,11 @@ def bench_end2end_step(on_tpu: bool) -> dict:
 
 
 def main() -> None:
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # Same escape hatch as bench.py: the axon sitecustomize overrides
+        # JAX_PLATFORMS programmatically, and the relay probe can hang for
+        # minutes when the relay is down.
+        jax.config.update("jax_platforms", "cpu")
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     on_tpu = jax.default_backend() != "cpu"
     _note(f"backend={jax.default_backend()} devices={jax.device_count()}")
