@@ -19,7 +19,8 @@ test-all:
 native:
 	$(PY) -c "from vqa_transfer_externaldata_tpu.data import native; \
 	          assert native.available(), 'native build failed'; \
-	          print('native IO library ready')"
+	          print('native IO library ready; jpeg:', \
+	                native.jpeg_available())"
 
 bench:
 	$(PY) bench.py

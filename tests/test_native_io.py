@@ -78,3 +78,72 @@ def test_raw_store_roundtrip(tmp_path):
         got["features"][0],
         np.asarray(store.grid[2], np.float32).reshape(4, 2048))
     store.close()
+
+
+def test_native_jpeg_decode_matches_pil(tmp_path):
+    """libvqa_jpeg decode == PIL bit-for-bit at native size (same libjpeg
+    codec) and within 1-2 LSB after the triangle resize (PIL BILINEAR's
+    algorithm, float accumulation vs PIL's 8-bit fixed point)."""
+    if not native.jpeg_available():
+        pytest.skip("no g++/libjpeg for the native JPEG library")
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    cases = [(96, 96, 96),    # no resize: exact
+             (128, 96, 64),   # downscale
+             (40, 60, 96)]    # upscale
+    for w, h, size in cases:
+        p = str(tmp_path / f"img_{w}x{h}_{size}.jpg")
+        Image.fromarray(rng.integers(0, 256, size=(h, w, 3))
+                        .astype(np.uint8)).save(p, quality=95)
+        images, status = native.decode_jpeg_batch([p], size)
+        assert status[0] == 0
+        with Image.open(p) as im:
+            im = im.convert("RGB")
+            if im.size != (size, size):
+                im = im.resize((size, size), Image.BILINEAR)
+            ref = np.asarray(im, np.uint8)
+        diff = np.abs(images[0].astype(int) - ref.astype(int))
+        if (w, h) == (size, size):
+            assert diff.max() == 0, "same-size decode must be bit-exact"
+        else:
+            assert diff.max() <= 2 and diff.mean() < 0.5, (
+                w, h, size, diff.max(), diff.mean())
+
+    # Grayscale JPEGs convert to RGB like PIL's convert("RGB").
+    g = str(tmp_path / "gray.jpg")
+    Image.fromarray(rng.integers(0, 256, size=(50, 50)).astype(np.uint8),
+                    mode="L").save(g, quality=95)
+    images, status = native.decode_jpeg_batch([g], 50)
+    assert status[0] == 0
+    assert (images[0][..., 0] == images[0][..., 1]).all()
+
+
+def test_native_jpeg_batch_flags_bad_files_and_ingest_falls_back(tmp_path):
+    if not native.jpeg_available():
+        pytest.skip("no g++/libjpeg for the native JPEG library")
+    from PIL import Image
+
+    from vqa_transfer_externaldata_tpu.data.ingest import (
+        ImageQuestionDataset)
+
+    rng = np.random.default_rng(2)
+    good = str(tmp_path / "good.jpg")
+    Image.fromarray(np.full((20, 20, 3), 77, np.uint8)).save(good)
+    images, status = native.decode_jpeg_batch(
+        [good, str(tmp_path / "missing.jpg")], 16)
+    assert status[0] == 0 and status[1] != 0
+    assert abs(int(images[0].mean()) - 77) <= 2
+
+    # End-to-end through the ingest dataset (native batch decode path).
+    n = 6
+    arrays = {
+        "q_ids": rng.integers(0, 9, size=(n, 3)).astype(np.int32),
+        "answer_id": rng.integers(0, 5, size=n).astype(np.int32),
+        "image_index": np.zeros(n, np.int32),
+    }
+    ds = ImageQuestionDataset(arrays, [good], image_size=16)
+    batch = next(ds.batches(4, shuffle=False, epochs=1))
+    assert batch["images"].shape == (4, 16, 16, 3)
+    assert abs(int(batch["images"].mean()) - 77) <= 2
+    ds.close()

@@ -129,3 +129,75 @@ def gather_f32(base: np.ndarray, idx: np.ndarray) -> np.ndarray:
                         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                         idx.shape[0], out.ctypes.data_as(f32p), _threads())
     return out.reshape((idx.shape[0],) + row_shape)
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode (libvqa_jpeg.so — separate object: needs -ljpeg, and the
+# dependency-free gather library must keep working where libjpeg is absent)
+# ---------------------------------------------------------------------------
+
+_JPEG_SRC = os.path.join(os.path.dirname(_SRC), "jpeg_decode.cc")
+_JPEG_LIB_PATH = os.path.join(_BUILD_DIR, "libvqa_jpeg.so")
+
+_jpeg_lib: Optional[ctypes.CDLL] = None
+_jpeg_tried = False
+
+
+def _load_jpeg() -> Optional[ctypes.CDLL]:
+    global _jpeg_lib, _jpeg_tried
+    with _lock:
+        if _jpeg_tried:
+            return _jpeg_lib
+        _jpeg_tried = True
+        path = _JPEG_LIB_PATH
+        if (not os.path.exists(path)
+                or os.path.getmtime(path) < os.path.getmtime(_JPEG_SRC)):
+            os.makedirs(_BUILD_DIR, exist_ok=True)
+            cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+                   "-pthread", "-std=c++17", _JPEG_SRC, "-ljpeg",
+                   "-o", _JPEG_LIB_PATH]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+            except (OSError, subprocess.SubprocessError) as e:
+                log.warning("native JPEG build failed (%s); PIL decode "
+                            "fallback", e)
+                return None
+        try:
+            lib = ctypes.CDLL(path)
+            assert lib.vqa_jpeg_abi_version() == 1
+            lib.decode_jpeg_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+            _jpeg_lib = lib
+        except OSError as e:
+            log.warning("native JPEG load failed (%s); PIL fallback", e)
+            _jpeg_lib = None
+        return _jpeg_lib
+
+
+def jpeg_available() -> bool:
+    return _load_jpeg() is not None
+
+
+def decode_jpeg_batch(paths, size: int):
+    """Decode + resize a batch of JPEG files to [n, size, size, 3] uint8
+    RGB with parallel C++ threads (the GIL is released for the whole
+    call). Returns ``(images, status)`` where ``status[i] != 0`` marks a
+    file the caller must decode itself (missing/corrupt/CMYK), or ``None``
+    when the native library is unavailable."""
+    lib = _load_jpeg()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, size, size, 3), np.uint8)
+    status = np.empty(n, np.int32)
+    c_paths = (ctypes.c_char_p * n)(
+        *[os.fsencode(p) for p in paths])
+    lib.decode_jpeg_batch(
+        c_paths, n, size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        min(16, os.cpu_count() or 1))
+    return out, status
