@@ -20,6 +20,16 @@ from vqa_transfer_externaldata_tpu.data.datasets import ArrayDataset
 
 
 def _decode(path: str, size: int) -> np.ndarray:
+    """One JPEG -> [size, size, 3] uint8. Native (libjpeg + triangle
+    resize, <=1 LSB vs PIL — native/jpeg_decode.cc) when built; PIL
+    otherwise, and for anything the native decoder rejects."""
+    from vqa_transfer_externaldata_tpu.data import native
+
+    decoded = native.decode_jpeg_batch([path], size)
+    if decoded is not None:
+        images, status = decoded
+        if status[0] == 0:
+            return images[0]
     from PIL import Image
 
     with Image.open(path) as im:
