@@ -118,3 +118,33 @@ def test_fidelity_mode_full_forward_matches_numpy_oracle(seed):
     want = fidelity.reference_forward_numpy(params, features, q_ids)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+def test_vlmap_full_forward_matches_numpy_oracle():
+    """Stage-1 assembled-forward oracle: the f32 VLMapModel forward
+    (dropout off) must match utils/fidelity.reference_vlmap_forward_numpy
+    — an independent float64 straight-line reimplementation — at f32
+    tolerance. Stage-1 counterpart of the fidelity_mode VQA oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_transfer_externaldata_tpu.models.vlmap import VLMapModel
+    from vqa_transfer_externaldata_tpu.utils.fidelity import (
+        reference_vlmap_forward_numpy)
+
+    rng = np.random.default_rng(5)
+    B, C, V, K = 8, 64, 128, 16
+    model = VLMapModel(vocab_size=V, num_tasks=8, feature_dim=C,
+                       word_dim=32, task_dim=8, hidden_dim=48,
+                       dropout=0.0, dtype=jnp.float32)
+    feature = rng.normal(size=(B, C)).astype(np.float32)
+    task = rng.integers(0, 8, size=B).astype(np.int32)
+    candidates = rng.integers(0, V, size=(B, K)).astype(np.int32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(feature),
+                           jnp.asarray(task), jnp.asarray(candidates))
+    out = model.apply(variables, jnp.asarray(feature), jnp.asarray(task),
+                      jnp.asarray(candidates))
+    ref = reference_vlmap_forward_numpy(variables["params"], feature,
+                                        task, candidates)
+    np.testing.assert_allclose(np.asarray(out["logits"], np.float64), ref,
+                               rtol=2e-5, atol=2e-5)

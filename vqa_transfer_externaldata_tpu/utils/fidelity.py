@@ -155,3 +155,41 @@ def logits_agree(apply_a: Callable, apply_b: Callable, batch: Any,
     max_abs = float(np.abs(la - lb).max())
     ok = bool(np.allclose(la, lb, atol=atol, rtol=rtol))
     return ok, max_abs
+
+
+def reference_vlmap_forward_numpy(params: Dict[str, Any],
+                                  feature: np.ndarray,
+                                  task: np.ndarray,
+                                  candidates: np.ndarray) -> np.ndarray:
+    """Independent numpy/float64 reimplementation of the ENTIRE stage-1
+    word-level vlmap forward (models/vlmap.VLMapModel, dropout off):
+    FiLM task conditioning -> 2-layer relu MLP visual projection ->
+    scaled cosine candidate scoring in the shared word space.
+
+    The stage-1 counterpart of :func:`reference_forward_numpy` (SURVEY.md
+    section 7 hard part (a)): the pretrained word table this model
+    produces is the paper's transferable artifact, so ported stage-1
+    reference weights need their own assembled-forward oracle.
+    tests/test_fidelity.py pins the flax forward (f32) to it.
+
+    ``feature`` [B, C] f32 region features; ``task`` [B] int32;
+    ``candidates`` [B, K] int32. Returns logits [B, K] float64.
+    """
+    f64 = np.float64
+
+    def l2n(a):
+        return a / np.sqrt(np.sum(a * a, -1, keepdims=True) + 1e-12)
+
+    t_emb = np.asarray(params["task_embedding"], f64)[np.asarray(task)]
+    x = np.concatenate([np.asarray(feature, f64), t_emb], -1)
+    mlp = params["visual_proj"]
+    h = x @ np.asarray(mlp["fc0"]["kernel"], f64) \
+        + np.asarray(mlp["fc0"]["bias"], f64)
+    h = np.maximum(h, 0.0)
+    z = h @ np.asarray(mlp["fc1"]["kernel"], f64) \
+        + np.asarray(mlp["fc1"]["bias"], f64)
+    zn = l2n(z)
+    en = l2n(np.asarray(params["word_emb"]["embedding"], f64))  # [V, D]
+    scores = zn @ en.T  # [B, V]
+    cand = np.take_along_axis(scores, np.asarray(candidates), axis=1)
+    return cand * float(np.asarray(params["logit_scale"]))
