@@ -43,17 +43,16 @@ def main(argv: Optional[Sequence[str]] = None) -> list:
     model = predictor.cfg.model.model
 
     if model == "vqa_end2end":
-        from PIL import Image
+        from vqa_transfer_externaldata_tpu.data.ingest import _decode
 
         paths = args.image or []
         if len(paths) == 1:
             paths = paths * n
         assert len(paths) == n, "--image count must match --question"
         size = predictor.cfg.data.image_size
-        visual = np.stack([
-            np.asarray(Image.open(path).convert("RGB").resize(
-                (size, size), Image.BILINEAR), np.uint8)
-            for path in paths])
+        # Same decode path as training (native libjpeg when built, PIL
+        # fallback) so serving pixels match the training distribution.
+        visual = np.stack([_decode(path, size) for path in paths])
     else:
         from vqa_transfer_externaldata_tpu.data.features import FeatureStore
 
