@@ -148,3 +148,37 @@ def test_vlmap_full_forward_matches_numpy_oracle():
                                         task, candidates)
     np.testing.assert_allclose(np.asarray(out["logits"], np.float64), ref,
                                rtol=2e-5, atol=2e-5)
+
+
+def test_vlmap_desc_full_forward_matches_numpy_oracle():
+    """Description-variant assembled-forward oracle: the f32
+    VLMapDescriptionModel forward (scan GRU path, dropout off) must match
+    the independent float64 numpy reimplementation at f32 tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_transfer_externaldata_tpu.models.vlmap import (
+        VLMapDescriptionModel)
+    from vqa_transfer_externaldata_tpu.utils.fidelity import (
+        reference_vlmap_desc_forward_numpy)
+
+    rng = np.random.default_rng(6)
+    B, C, V, K, T = 8, 48, 96, 12, 7
+    model = VLMapDescriptionModel(vocab_size=V, num_tasks=6, feature_dim=C,
+                                  word_dim=24, rnn_dim=16, task_dim=8,
+                                  hidden_dim=40, dropout=0.0,
+                                  dtype=jnp.float32, use_pallas=False)
+    feature = rng.normal(size=(B, C)).astype(np.float32)
+    desc = rng.integers(0, V, size=(B, T)).astype(np.int32)
+    desc[:, 5:] = 0  # padded tail (PAD_ID=0) exercises the mask carry
+    task = rng.integers(0, 6, size=B).astype(np.int32)
+    candidates = rng.integers(0, V, size=(B, K)).astype(np.int32)
+    variables = model.init(jax.random.PRNGKey(1), jnp.asarray(feature),
+                           jnp.asarray(desc), jnp.asarray(task),
+                           jnp.asarray(candidates))
+    out = model.apply(variables, jnp.asarray(feature), jnp.asarray(desc),
+                      jnp.asarray(task), jnp.asarray(candidates))
+    ref = reference_vlmap_desc_forward_numpy(
+        variables["params"], feature, desc, task, candidates)
+    np.testing.assert_allclose(np.asarray(out["logits"], np.float64), ref,
+                               rtol=2e-5, atol=2e-5)

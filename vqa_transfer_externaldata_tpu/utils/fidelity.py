@@ -193,3 +193,60 @@ def reference_vlmap_forward_numpy(params: Dict[str, Any],
     scores = zn @ en.T  # [B, V]
     cand = np.take_along_axis(scores, np.asarray(candidates), axis=1)
     return cand * float(np.asarray(params["logit_scale"]))
+
+
+def reference_vlmap_desc_forward_numpy(params: Dict[str, Any],
+                                       feature: np.ndarray,
+                                       desc_ids: np.ndarray,
+                                       task: np.ndarray,
+                                       candidates: np.ndarray) -> np.ndarray:
+    """Independent numpy/float64 reimplementation of the description-level
+    vlmap forward (models/vlmap.VLMapDescriptionModel, dropout off):
+    blanked-phrase GRU in the shared word space (cudnn convention —
+    ops/gru.GRUEncoder: r,z,n packed gates, candidate bias ``bhn`` inside
+    the reset product, h' = (1-z)*n + z*h, padded steps carry through) ->
+    FiLM task conditioning -> relu MLP -> scaled cosine candidate scoring.
+    Completes the assembled-forward oracle family (VQA fidelity_mode,
+    word-level vlmap, description vlmap)."""
+    f64 = np.float64
+
+    def sig(a):
+        return 1.0 / (1.0 + np.exp(-a))
+
+    def l2n(a):
+        return a / np.sqrt(np.sum(a * a, -1, keepdims=True) + 1e-12)
+
+    table = np.asarray(params["word_emb"]["embedding"], f64)
+    x = table[np.asarray(desc_ids)]  # [B, T, D]
+    mask = (np.asarray(desc_ids) != 0).astype(f64)
+    gru = params["desc_gru"]
+    wx = np.asarray(gru["wx"], f64)
+    uh = np.asarray(gru["uh"], f64)
+    b = np.asarray(gru["b"], f64)
+    bhn = np.asarray(gru["bhn"], f64)
+    B, T, _ = x.shape
+    H = uh.shape[0]
+    h = np.zeros((B, H), f64)
+    for t in range(T):
+        gx = x[:, t] @ wx + b
+        gh = h @ uh
+        gx_r, gx_z, gx_n = np.split(gx, 3, -1)
+        gh_r, gh_z, gh_n = np.split(gh, 3, -1)
+        r = sig(gx_r + gh_r)
+        z = sig(gx_z + gh_z)
+        n = np.tanh(gx_n + r * (gh_n + bhn))
+        h_new = (1.0 - z) * n + z * h
+        m = mask[:, t][:, None]
+        h = m * h_new + (1.0 - m) * h
+
+    t_emb = np.asarray(params["task_embedding"], f64)[np.asarray(task)]
+    inp = np.concatenate([np.asarray(feature, f64), h, t_emb], -1)
+    mlp = params["visual_proj"]
+    hh = np.maximum(inp @ np.asarray(mlp["fc0"]["kernel"], f64)
+                    + np.asarray(mlp["fc0"]["bias"], f64), 0.0)
+    zz = hh @ np.asarray(mlp["fc1"]["kernel"], f64) \
+        + np.asarray(mlp["fc1"]["bias"], f64)
+    en = l2n(np.asarray(params["word_emb"]["embedding"], f64))
+    scores = l2n(zz) @ en.T
+    cand = np.take_along_axis(scores, np.asarray(candidates), axis=1)
+    return cand * float(np.asarray(params["logit_scale"]))
