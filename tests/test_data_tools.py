@@ -266,6 +266,59 @@ def test_real_artifact_training_path(vqa_json, tmp_path):
     assert {"question_id", "answer"} <= set(results[0])
 
 
+def test_int8_store_through_train_and_eval_cli(vqa_json, tmp_path):
+    """--train.store_quantize int8 end-to-end at CLI level: training runs
+    the quantized resident fused path, the flag persists in the saved
+    config, and the eval CLI (which adopts the saved config) evaluates
+    through the same quantized store."""
+    from PIL import Image
+
+    from vqa_transfer_externaldata_tpu.cli.eval import main as eval_main
+    from vqa_transfer_externaldata_tpu.cli.train import main as train_main
+    from vqa_transfer_externaldata_tpu.data.features import extract_features
+    from vqa_transfer_externaldata_tpu.data.vqa_v2 import preprocess_vqa_v2
+
+    qp, ap = vqa_json
+    out = str(tmp_path / "pre")
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    paths, ids = [], [100, 101, 102]
+    for i in ids:
+        p = str(img_dir / f"img_{i}.jpg")
+        Image.fromarray(np.full((32, 32, 3), i % 255, np.uint8)).save(p)
+        paths.append(p)
+    feat_path = str(tmp_path / "feat.hdf5")
+    extract_features(paths, ids, feat_path, batch_size=2, image_size=64)
+    preprocess_vqa_v2(out, qp, ap, val_questions=qp, val_annotations=ap,
+                      top_k_answers=8, max_question_len=8, vocab_pad_to=64,
+                      image_id_to_index={100: 0, 101: 1, 102: 2})
+
+    train_dir = train_main([
+        "--data.dataset_dir", out, "--data.feature_path", feat_path,
+        "--data.vocab_path", os.path.join(out, "vocab.json"),
+        "--data.answer_vocab_path", os.path.join(out, "answer_vocab.json"),
+        "--data.vocab_size", "64", "--data.num_answers", "12",
+        "--data.grid_h", "2", "--data.grid_w", "2",
+        "--data.max_question_len", "8",
+        "--model.model", "vqa_attention", "--model.word_dim", "8",
+        "--model.rnn_dim", "8", "--model.fusion_dim", "16",
+        "--model.att_hidden", "8", "--model.answer_dim", "8",
+        "--model.dtype", "float32", "--model.dropout", "0.0",
+        "--train.device_data_cache", "true",
+        "--train.resident_fused_attention", "true",
+        "--train.store_quantize", "int8",
+        "--train.batch_size", "8", "--train.max_steps", "3",
+        "--train.log_every", "1", "--train.eval_every", "10000",
+        "--train.checkpoint_every", "100",
+        "--train.train_dir", str(tmp_path / "run_int8")])
+    assert os.path.exists(os.path.join(train_dir, "params_final"))
+    with open(os.path.join(train_dir, "config.json")) as fh:
+        assert json.load(fh)["train"]["store_quantize"] == "int8"
+
+    metrics = eval_main(["--train.train_dir", train_dir])
+    assert "vqa_accuracy" in metrics and np.isfinite(metrics["loss"])
+
+
 def test_candidate_resampler(tmp_path):
     from vqa_transfer_externaldata_tpu.data.datasets import ArrayDataset
     from vqa_transfer_externaldata_tpu.data.visualgenome import (
