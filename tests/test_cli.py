@@ -66,6 +66,25 @@ def test_profile_flag_writes_trace(tmp_path):
     assert traces, "profiler trace not written"
 
 
+def test_profile_start_between_dispatch_boundaries_still_traces(tmp_path):
+    """steps_per_call > 1: the loop visits steps 0, 4, 8, ... — a
+    profile_start of 2 is never hit exactly; the >= start condition must
+    begin the trace at the next boundary instead of skipping it (and
+    then crashing in stop_trace with no active trace)."""
+    d = str(tmp_path / "prof_k4_run")
+    train_cli.main(TINY + ["--model.model", "vqa_baseline",
+                           "--train.train_dir", d,
+                           "--train.max_steps", "12",
+                           "--train.steps_per_call", "4",
+                           "--train.profile_start", "2",
+                           "--train.profile_steps", "5"])
+    import glob
+
+    traces = glob.glob(os.path.join(d, "profile", "**", "*.json.gz"),
+                       recursive=True)
+    assert traces, "profiler trace not written at k=4"
+
+
 def test_profile_window_past_max_steps_still_writes_trace(tmp_path):
     """profile_start + profile_steps > max_steps: the stop boundary is
     never reached inside the loop — the trace must still be closed (and
