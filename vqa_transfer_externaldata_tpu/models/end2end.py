@@ -16,7 +16,7 @@ Batch format: ``images`` [B, S, S, 3] uint8 RGB (S=448), ``q_ids`` [B, T].
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax
