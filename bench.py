@@ -148,15 +148,18 @@ def _emit(train_dir, n_chips: int, batch_size: int,
 def _traced_steps(start: int, until: int, k: int, max_steps: int) -> int:
     """Steps actually spanned by a profiler trace that starts/stops only
     at the trainer's dispatch boundaries (stepno advances by
-    ``min(k, max_steps - stepno)``; fit_resident starts the trace at the
-    first boundary in ``[start, until)`` and stops at the first boundary
-    ``>= until``, or at ``max_steps`` — trainer.py). The exact divisor
-    for ``device_step_ms_measured``: e.g. BENCH_PROFILE=100 at k=32
-    traces 128 steps, and dividing by 100 would overstate the step 28%."""
+    ``min(k, max_steps - stepno)``; the trace starts at the first
+    boundary ``>= start`` — windows narrower than one dispatch still
+    trace that one dispatch — and stops at the first boundary
+    ``>= until`` after that, or at ``max_steps`` — trainer.py). The
+    exact divisor for ``device_step_ms_measured``: e.g. BENCH_PROFILE=100
+    at k=32 traces 128 steps, and dividing by 100 would overstate the
+    step 28%."""
     s, t_start, t_stop = 0, None, None
     while s < max_steps:
-        if t_start is None and start <= s < until:
+        if t_start is None and s >= start:
             t_start = s
+            until = max(until, s + 1)
         s += min(k, max_steps - s)
         if t_start is not None and s >= until:
             t_stop = s

@@ -98,10 +98,10 @@ def test_watchdog_emits_windows_when_present(monkeypatch, capfd, tmp_path):
     (128, 384, 32, 1024, 384),   # aligned: exact
     (128, 100, 32, 1024, 128),   # unaligned: rounds up to boundary
     (128, 384, 128, 1024, 384),  # k = window
-    (100, 10, 32, 1024, 0),      # window [100,110) contains NO dispatch
-                                 # boundary: the trainer never starts the
-                                 # trace (profile windows shorter than
-                                 # steps_per_call can be skipped entirely)
+    (100, 10, 32, 1024, 32),     # window [100,110) contains no boundary:
+                                 # the trace starts at the next boundary
+                                 # (128) and spans that one dispatch
+                                 # instead of silently skipping
     (128, 10000, 32, 256, 128),  # window past max_steps: truncated
     (10000, 10, 32, 256, 0),     # start past max_steps: never traced
     (0, 5, 7, 20, 7),            # non-divisible tail steps

@@ -35,6 +35,17 @@ def test_sharded_epochs_partition_the_data():
     assert sorted(allrows.tolist()) == list(range(64))
     # shards are disjoint
     assert len(set(allrows.tolist())) == 64
+    # batch_size is the GLOBAL batch: each process yields its 8/4=2 local
+    # rows of every global batch (the trainer assembles the global array
+    # from process-local rows; fit_resident splits identically).
+    first = next(_ds().batches(8, seed=1, epochs=1, shard=(0, 4)))
+    assert first["x"].shape[0] == 2
+    # every process produces the SAME batch count (unequal counts would
+    # hang a multi-host step) even when size % n != 0
+    ds = ArrayDataset({"x": np.arange(27)})
+    counts = {k: len(list(ds.batches(4, seed=1, epochs=1, shard=(k, 4))))
+              for k in range(4)}
+    assert len(set(counts.values())) == 1, counts
 
 
 def test_drop_last_and_small_dataset_error():

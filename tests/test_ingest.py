@@ -177,6 +177,20 @@ def test_grain_iterator_shards_are_disjoint_and_cover():
     # Unsharded batch = stride-interleave of the two shards' rows.
     assert a | b == set(full["answer_id"].tolist())
 
+    # size % pc != 0: the permutation is trimmed to a multiple of pc so
+    # both processes' slices have EQUAL length and their epoch boundaries
+    # stay aligned (unequal grain slices drift parent-epoch computation —
+    # the same sample could appear on two processes in one global batch).
+    odd = ArrayDataset({"answer_id": np.arange(25, dtype=np.int32)})
+    it0 = GrainTrainIterator(odd, batch_size=8, seed=2, shard=(0, 2))
+    it1 = GrainTrainIterator(odd, batch_size=8, seed=2, shard=(1, 2))
+    seen0, seen1 = [], []
+    for _ in range(6):  # two epochs of the 12-element slices
+        seen0.append(next(it0)["answer_id"])
+        seen1.append(next(it1)["answer_id"])
+    for b0, b1 in zip(seen0, seen1):
+        assert not (set(b0.tolist()) & set(b1.tolist())), (b0, b1)
+
 
 def test_data_iter_state_pruned_with_checkpoints(tmp_path):
     """data_iter_<step>.json files follow Orbax's keep-N pruning: states

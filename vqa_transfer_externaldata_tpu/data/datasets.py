@@ -50,8 +50,12 @@ class ArrayDataset:
         """Yield fixed-shape batches; infinite if ``epochs`` is None.
 
         ``shard=(k, n)``: multi-host data parallelism — process k of n
-        takes every n-th row of the (identically-seeded) epoch permutation,
-        so the union over processes covers each epoch exactly once.
+        takes every n-th row of the (identically-seeded) epoch permutation
+        (trimmed to a multiple of n so every process sees the same batch
+        count) and yields its ``batch_size / n`` LOCAL rows of each global
+        batch; ``batch_size`` stays the GLOBAL batch everywhere (the
+        trainer assembles the global array from process-local rows —
+        parallel/mesh.put_sharded), matching fit_resident's convention.
         """
         for idx in self.index_batches(batch_size, shuffle=shuffle,
                                       seed=seed, epochs=epochs,
@@ -69,6 +73,12 @@ class ArrayDataset:
             raise ValueError(
                 f"dataset has {self.size} rows < batch_size {batch_size} "
                 f"with drop_last: no batch can ever be produced")
+        local_bs = batch_size
+        if shard is not None and shard[1] > 1:
+            if batch_size % shard[1]:
+                raise ValueError(f"global batch {batch_size} not divisible "
+                                 f"by process count {shard[1]}")
+            local_bs = batch_size // shard[1]
         epoch = 0
         while epochs is None or epoch < epochs:
             if shuffle:
@@ -77,13 +87,17 @@ class ArrayDataset:
                         self.size)
             else:
                 order = np.arange(self.size)
-            if shard is not None:
+            if shard is not None and shard[1] > 1:
                 k, n = shard
-                order = order[k::n]
-            limit = (order.size // batch_size) * batch_size if drop_last \
+                # Trim to a multiple of n BEFORE striding so every
+                # process's slice has the same length — unequal slices
+                # would desync batch counts (and epoch boundaries) across
+                # processes, hanging a multi-host step.
+                order = order[:(order.size // n) * n][k::n]
+            limit = (order.size // local_bs) * local_bs if drop_last \
                 else order.size
-            for start in range(0, limit, batch_size):
-                yield order[start:start + batch_size].astype(np.int32)
+            for start in range(0, limit, local_bs):
+                yield order[start:start + local_bs].astype(np.int32)
             epoch += 1
 
     def save(self, path: str) -> None:

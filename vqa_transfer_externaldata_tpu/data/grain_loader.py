@@ -112,14 +112,15 @@ class GrainTrainIterator:
 
     def __init__(self, dataset, *, batch_size: int, seed: int,
                  workers: int = 0, shard=(0, 1)) -> None:
-        arrays = {k: np.asarray(v) for k, v in dataset.arrays.items()}
         if hasattr(dataset, "image_paths"):  # raw-JPEG (end2end) source
-            source = _QuestionImageSource(arrays, dataset.image_paths,
-                                          dataset.image_size)
+            source = _QuestionImageSource(
+                {k: np.asarray(v) for k, v in dataset.arrays.items()},
+                dataset.image_paths, dataset.image_size)
         elif hasattr(dataset, "store"):  # feature-store join (C5/C7)
             source = _JoinedRowSource(dataset)
         else:
-            source = _ArraySource(arrays)
+            source = _ArraySource(
+                {k: np.asarray(v) for k, v in dataset.arrays.items()})
         pi, pc = shard
         if batch_size % pc:
             raise ValueError(f"global batch {batch_size} not divisible by "
@@ -127,15 +128,19 @@ class GrainTrainIterator:
         ds = grain.MapDataset.source(source).shuffle(seed=seed)
         if pc > 1:
             # Multi-host data parallelism: every process shuffles the SAME
-            # identically-seeded epoch permutation, then takes a disjoint
-            # stride of it — matching the streaming path's shard=(pi, pc).
-            # Each process batches its local batch_size/pc rows; the
-            # Trainer assembles them into the global array
+            # identically-seeded epoch permutation, trims it to a multiple
+            # of pc (unequal slice lengths would drift grain's
+            # parent-epoch computation across processes — the same sample
+            # could then appear on two processes in one global batch),
+            # and takes a disjoint stride — matching the streaming path's
+            # shard=(pi, pc). Each process batches its local
+            # batch_size/pc rows; the Trainer assembles the global array
             # (make_array_from_process_local_data). All processes consume
             # the same number of elements per step, so the (process-0)
             # checkpointed iterator state is position-correct for every
             # process's sliced view.
-            ds = ds[pi::pc]
+            usable = (len(source) // pc) * pc
+            ds = ds[:usable][pi::pc]
         ds = (ds.repeat(None)  # infinite: the trainer bounds by max_steps
               .batch(batch_size // pc, drop_remainder=True))
         it_ds = ds.to_iter_dataset()

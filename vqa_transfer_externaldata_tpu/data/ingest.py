@@ -19,6 +19,16 @@ import numpy as np
 from vqa_transfer_externaldata_tpu.data.datasets import ArrayDataset
 
 
+def _decode_pil(path: str, size: int) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        if im.size != (size, size):
+            im = im.resize((size, size), Image.BILINEAR)
+        return np.asarray(im, np.uint8)
+
+
 def _decode(path: str, size: int) -> np.ndarray:
     """One JPEG -> [size, size, 3] uint8. Native (libjpeg + triangle
     resize, <=1 LSB vs PIL — native/jpeg_decode.cc) when built; PIL
@@ -30,13 +40,7 @@ def _decode(path: str, size: int) -> np.ndarray:
         images, status = decoded
         if status[0] == 0:
             return images[0]
-    from PIL import Image
-
-    with Image.open(path) as im:
-        im = im.convert("RGB")
-        if im.size != (size, size):
-            im = im.resize((size, size), Image.BILINEAR)
-        return np.asarray(im, np.uint8)
+    return _decode_pil(path, size)
 
 
 class ImageQuestionDataset(ArrayDataset):
@@ -74,7 +78,8 @@ class ImageQuestionDataset(ArrayDataset):
             return np.stack(images)
         images, status = decoded
         for i in np.nonzero(status)[0]:
-            images[i] = _decode(paths[int(i)], size)
+            # straight to PIL: the native decoder just rejected this file
+            images[i] = _decode_pil(paths[int(i)], size)
         return images
 
     def close(self) -> None:

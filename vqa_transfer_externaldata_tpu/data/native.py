@@ -48,8 +48,12 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         path = _LIB_PATH
-        src_mtime = os.path.getmtime(_SRC)
-        if not os.path.exists(path) or os.path.getmtime(path) < src_mtime:
+        try:  # a missing source with a prebuilt lib is fine — just load
+            stale = (not os.path.exists(path)
+                     or os.path.getmtime(path) < os.path.getmtime(_SRC))
+        except OSError:
+            stale = not os.path.exists(path)
+        if stale:
             path = _build()
         if path is None:
             return None
@@ -150,8 +154,12 @@ def _load_jpeg() -> Optional[ctypes.CDLL]:
             return _jpeg_lib
         _jpeg_tried = True
         path = _JPEG_LIB_PATH
-        if (not os.path.exists(path)
-                or os.path.getmtime(path) < os.path.getmtime(_JPEG_SRC)):
+        try:  # a missing source with a prebuilt lib is fine — just load
+            stale = (not os.path.exists(path)
+                     or os.path.getmtime(path) < os.path.getmtime(_JPEG_SRC))
+        except OSError:
+            stale = not os.path.exists(path)
+        if stale:
             os.makedirs(_BUILD_DIR, exist_ok=True)
             cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared",
                    "-pthread", "-std=c++17", _JPEG_SRC, "-ljpeg",

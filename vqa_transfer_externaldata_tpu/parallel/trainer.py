@@ -410,13 +410,17 @@ class Trainer:
                          if t.profile_steps else -1)
         profiling = False
         while step < max_steps:
-            if (t.profile_steps and not profiling
-                    and step >= t.profile_start and step < profile_until):
+            if (t.profile_steps and not profiling and profile_until >= 0
+                    and step >= t.profile_start):
                 # >= (not ==): dispatch boundaries advance by
-                # steps_per_call, so profile_start may never be hit exactly.
+                # steps_per_call, so profile_start may never be hit
+                # exactly; no upper bound — a window narrower than one
+                # dispatch still traces that one dispatch instead of
+                # silently skipping (stop below ends it).
                 jax.profiler.start_trace(
                     os.path.join(self.train_dir, "profile"))
                 profiling = True
+                profile_until = max(profile_until, step + 1)
                 log.info("profiler trace started (steps %d..%d)",
                          step, profile_until)
             # Tail dispatch clamps to max_steps (one extra compile via
@@ -438,6 +442,7 @@ class Trainer:
                     lambda x: x.block_until_ready(), pending)
                 jax.profiler.stop_trace()
                 profiling = False
+                profile_until = -1  # latch: never re-start this run
                 log.info("profiler trace written to %s/profile",
                          self.train_dir)
             if step >= next_log or step >= max_steps:
@@ -661,11 +666,15 @@ class Trainer:
                 seg_dev = put_sharded(seg.astype(np.int32), kidx_shard)
                 off_dev = put_sharded(np.zeros((), np.int32), self._repl)
                 seg_off = 0
-            if (t.profile_steps and not profiling
-                    and stepno >= t.profile_start and stepno < profile_until):
+            if (t.profile_steps and not profiling and profile_until >= 0
+                    and stepno >= t.profile_start):
+                # Same boundary semantics as fit: start at the first
+                # dispatch boundary >= profile_start; windows narrower
+                # than one dispatch trace that one dispatch.
                 jax.profiler.start_trace(
                     os.path.join(self.train_dir, "profile"))
                 profiling = True
+                profile_until = max(profile_until, stepno + 1)
                 log.info("profiler trace started (steps %d..%d)",
                          stepno, profile_until)
             k_eff = min(k, max_steps - stepno)
@@ -679,6 +688,7 @@ class Trainer:
                 jax.device_get(pending)
                 jax.profiler.stop_trace()
                 profiling = False
+                profile_until = -1  # latch: never re-start this run
                 log.info("profiler trace written to %s/profile",
                          self.train_dir)
             if stepno >= next_log or stepno >= max_steps:
