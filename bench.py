@@ -42,6 +42,12 @@ output, BENCH_r02.json rc=124):
 - **Cold start**: no separately-compiled resident evaluator (opt back in
   with ``BENCH_EVAL=1``); persistent compilation cache; progress on stderr
   from the first line.
+- **Self-reported stable number**: with ``BENCH_PROFILE=<steps>`` the
+  final JSON also carries ``device_step_ms_measured`` (this run's own
+  profiler trace parsed by tools/trace_summary, divided by the exact
+  dispatch-boundary-aligned step count — ``_traced_steps``) and the
+  derived ``ceiling_qps_per_chip_measured`` — the numbers the relay's
+  ±30% wall variance cannot touch.
 
 ``vs_baseline`` semantics — FIXED from round 2 onward: the denominator is
 the round-1 single-batch compute CEILING of 53,966 q/s/chip (the best
