@@ -492,3 +492,11 @@ def test_description_artifacts_and_pattern_discovery(tmp_path):
         tr["desc_ids"][np.arange(n), tr["blank_pos"]],
         np.ones(n, np.int32) * UNK_ID)
     assert tr["desc_ids"].shape[1] == 6
+
+
+def test_preprocess_val_requires_annotations(vqa_json, tmp_path):
+    from vqa_transfer_externaldata_tpu.data.vqa_v2 import preprocess_vqa_v2
+
+    qp, ap = vqa_json
+    with pytest.raises(ValueError, match="val_annotations"):
+        preprocess_vqa_v2(str(tmp_path / "pre"), qp, ap, val_questions=qp)

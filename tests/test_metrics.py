@@ -42,7 +42,33 @@ def test_accuracy_partial():
 
 def test_accuracy_min_cap():
     # 10/10 matches still capped at 1
-    assert metrics.vqa_accuracy("2", ["two"] * 10) == 1.0
+    assert metrics.vqa_accuracy("yes", ["yes"] * 10) == 1.0
+
+
+def test_unanimous_gt_skips_normalization():
+    """Official vqaEval.py gate: normalization (digits, articles,
+    punctuation, contractions) runs ONLY when the ground-truth answers
+    are not unanimous — a unanimous question compares raw strings."""
+    # unanimous: '2' vs raw 'two' does NOT match (official scores 0.0)
+    assert metrics.vqa_accuracy("2", ["two"] * 10) == 0.0
+    # ...but the raw unanimous form itself matches
+    assert metrics.vqa_accuracy("two", ["two"] * 10) == 1.0
+    # non-unanimous: normalization applies, '2' matches the 9x 'two'
+    gts = ["two"] * 9 + ["three"]
+    assert metrics.vqa_accuracy("2", gts) == metrics.vqa_accuracy("two", gts)
+    assert metrics.vqa_accuracy("2", gts) > 0.9
+    # the prediction is still newline/tab-stripped in the unanimous case
+    assert metrics.vqa_accuracy(" two\n", ["two"] * 10) == 1.0
+
+    # answer_scores applies the same gate: unanimous raw form scores 1 at
+    # its vocab id; the normalized-but-different form scores 0.
+    table = {"two": 0, "2": 1}
+    s = metrics.answer_scores(["two"] * 10, table, 2)
+    assert s[0] == 1.0 and s[1] == 0.0
+    # non-unanimous: gts normalize ('two' -> '2' via the manual digit
+    # map), so the score lands on the NORMALIZED vocab form.
+    s = metrics.answer_scores(["two"] * 9 + ["three"], table, 2)
+    assert s[1] > 0.9 and s[0] == 0.0
 
 
 def test_normalize_idempotent():

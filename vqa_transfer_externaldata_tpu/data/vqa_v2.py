@@ -132,6 +132,11 @@ def preprocess_vqa_v2(
     pretrained answer-embedding space covers answers never fine-tuned on.
     The held-out ids are saved to ``oov_split.json``.
     """
+    if val_questions and not val_annotations:
+        raise ValueError(
+            "val_questions requires val_annotations (the val split carries "
+            "answer targets + score vectors); pass an annotation-less "
+            "question file as test_questions instead")
     os.makedirs(out_dir, exist_ok=True)
     tq = load_questions(train_questions)
     ta = load_annotations(train_annotations)

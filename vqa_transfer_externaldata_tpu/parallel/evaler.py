@@ -87,17 +87,27 @@ def evaluate_split(trainer: Trainer, state: TrainState, ds: ArrayDataset,
     # Exact split-level VQA accuracy from the precomputed score table
     # (utils/metrics.answer_scores), without padded-row dilution.
     if "answer_scores" in ds.arrays:
-        table = ds.arrays["answer_scores"]
-        per_q = table[np.arange(n), preds]
+        from vqa_transfer_externaldata_tpu.utils.metrics import per_question_scores
+
+        per_q = per_question_scores(preds, np.asarray(ds.arrays
+                                                      ["answer_scores"][:n]))
         metrics["vqa_accuracy"] = float(per_q.mean())
         if oov_answer_ids is not None and "answer_id" in ds.arrays:
-            oov = np.isin(ds.arrays["answer_id"][:n], oov_answer_ids)
+            from vqa_transfer_externaldata_tpu.utils.vocab import UNK_ID
+
+            gt = np.asarray(ds.arrays["answer_id"][:n])
+            oov = np.isin(gt, oov_answer_ids)
+            # Rows whose ground truth is outside the answer vocab entirely
+            # (answer_id == <unk>) are NEITHER in-vocab nor held-out:
+            # excluding them keeps the paper's in-vs-OOV comparison from
+            # being diluted by unanswerable rows.
+            in_vocab = ~oov & (gt != UNK_ID)
             if oov.any():
                 metrics["vqa_accuracy_oov_answers"] = float(
                     per_q[oov].mean())
-            if (~oov).any():
+            if in_vocab.any():
                 metrics["vqa_accuracy_in_vocab_answers"] = float(
-                    per_q[~oov].mean())
+                    per_q[in_vocab].mean())
         if type_tables is not None:
             for id_key, names_key, prefix in (
                     ("answer_type_id", "answer_types",

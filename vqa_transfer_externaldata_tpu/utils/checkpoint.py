@@ -128,11 +128,16 @@ def load_params(path: str) -> Any:
 
 
 def answer_embedding_from_words(word_table: np.ndarray, word_vocab: Vocab,
-                                answer_vocab: Vocab) -> np.ndarray:
+                                answer_vocab: Vocab,
+                                fallback: Optional[np.ndarray] = None
+                                ) -> np.ndarray:
     """[A, D] matrix: row a = mean word embedding of answer a's tokens.
 
-    Rows whose answer has no known word keep small random values (seeded by
-    the row index) so they remain trainable without colliding.
+    Rows whose answer has no known word keep ``fallback``'s row when given
+    (transfer_init passes the model's fresh initialization, honouring the
+    'rows untouched when no word is known' contract and the initializer's
+    scale); standalone callers without a fallback get small seeded random
+    values so the rows remain trainable without colliding.
     """
     dim = word_table.shape[1]
     out = np.zeros((len(answer_vocab), dim), np.float32)
@@ -141,6 +146,8 @@ def answer_embedding_from_words(word_table: np.ndarray, word_vocab: Vocab,
                if t in word_vocab.token_to_id]
         if ids:
             out[a] = word_table[ids].mean(axis=0)
+        elif fallback is not None and a < fallback.shape[0]:
+            out[a] = fallback[a]
         else:
             out[a] = np.random.default_rng(a).normal(0, 0.01, size=dim)
     return out
@@ -230,13 +237,14 @@ def transfer_init(vqa_params: Dict, vlmap_params: Dict,
             "(e.g. vqa_baseline) — word table transferred, answer-space "
             "init skipped")
         return out
-    ans = answer_embedding_from_words(src_table, word_vocab, answer_vocab)
     tgt_ans = np.asarray(_get_path(out, ans_path))
-    if ans.shape[1] != tgt_ans.shape[1]:
+    if src_table.shape[1] != tgt_ans.shape[1]:
         raise ValueError(
-            f"answer embedding dim mismatch: words give {ans.shape[1]}, "
-            f"model has {tgt_ans.shape[1]} (set model.answer_dim = word_dim "
-            f"for transfer)")
+            f"answer embedding dim mismatch: words give "
+            f"{src_table.shape[1]}, model has {tgt_ans.shape[1]} (set "
+            f"model.answer_dim = word_dim for transfer)")
+    ans = answer_embedding_from_words(src_table, word_vocab, answer_vocab,
+                                      fallback=tgt_ans)
     rows = min(ans.shape[0], tgt_ans.shape[0])
     new_ans = tgt_ans.copy()
     new_ans[:rows] = ans[:rows]

@@ -87,10 +87,12 @@ _PUNCT = [
 def process_punctuation(text: str) -> str:
     """Official VQA eval ``processPunctuation``."""
     out = text
+    # Loop-invariant (official code re-evaluates it per punctuation mark;
+    # the RESULT is identical — hoisting drops ~20 wasted regex scans per
+    # answer across the ~millions preprocessing normalizes).
+    digit_comma = re.search(_COMMA_STRIP, text)
     for p in _PUNCT:
-        if (p + " " in text or " " + p in text) or re.search(
-            _COMMA_STRIP, text
-        ):
+        if (p + " " in text or " " + p in text) or digit_comma:
             out = out.replace(p, "")
         else:
             out = out.replace(p, " ")
@@ -120,23 +122,40 @@ def normalize_answer(answer: str) -> str:
 # --- Accuracy ---------------------------------------------------------------
 
 
+def _leave_one_out_score(candidate: str, gts: Sequence[str]) -> float:
+    """min(#matches/3, 1) averaged over leave-one-annotator-out subsets —
+    the official inner loop, shared by vqa_accuracy and answer_scores."""
+    n = len(gts)
+    if n <= 1:
+        return float(candidate == (gts[0] if gts else ""))
+    accs = []
+    for i in range(n):
+        others = list(gts[:i]) + list(gts[i + 1:])
+        matches = sum(1 for g in others if g == candidate)
+        accs.append(min(1.0, matches / 3.0))
+    return float(np.mean(accs))
+
+
 def vqa_accuracy(prediction: str, gt_answers: Sequence[str]) -> float:
     """Official VQA accuracy for one question.
 
     ``gt_answers`` is the list of (typically 10) human answers. The score is
     the average over each leave-one-annotator-out subset of
     ``min(#matches_in_subset / 3, 1)``.
+
+    Protocol detail reproduced exactly (official ``vqaEval.py``): the
+    prediction is always newline/tab-stripped, but the FULL normalization
+    (punctuation, digits, articles, contractions) applies to prediction
+    and ground truths ONLY when the ground-truth answers are not
+    unanimous (``len(set(gtAnswers)) > 1``) — a unanimous question
+    compares raw strings, so e.g. '2' vs 10x 'two' scores 0.0 there.
     """
-    pred = normalize_answer(prediction)
-    gts = [normalize_answer(a) for a in gt_answers]
-    if len(gts) <= 1:
-        return float(pred == (gts[0] if gts else ""))
-    accs = []
-    for i in range(len(gts)):
-        others = gts[:i] + gts[i + 1:]
-        matches = sum(1 for g in others if g == pred)
-        accs.append(min(1.0, matches / 3.0))
-    return float(np.mean(accs))
+    pred = prediction.replace("\n", " ").replace("\t", " ").strip()
+    gts = list(gt_answers)
+    if len(set(gts)) > 1:
+        pred = normalize_answer(pred)
+        gts = [normalize_answer(a) for a in gts]
+    return _leave_one_out_score(pred, gts)
 
 
 def answer_scores(gt_answers: Sequence[str],
@@ -146,32 +165,36 @@ def answer_scores(gt_answers: Sequence[str],
 
     Used at preprocessing time (reference C2) so that in-loop eval is a pure
     gather: ``score[argmax logits]``. Entry ``v`` holds ``vqa_accuracy`` of
-    vocab answer ``v`` against the question's human answers.
+    vocab answer ``v`` against the question's human answers — including the
+    official unanimous-gt gate (see :func:`vqa_accuracy`): a unanimous
+    question matches raw strings only, so a vocab answer differing from the
+    raw unanimous form scores 0 exactly as the official server would.
     """
     scores = np.zeros((num_answers,), dtype=np.float32)
-    gts = [normalize_answer(a) for a in gt_answers]
-    n = len(gts)
-    for candidate in set(gts):
+    raw = list(gt_answers)
+    if len(set(raw)) > 1:
+        gts = [normalize_answer(a) for a in raw]
+        candidates = set(gts)
+    else:
+        gts = raw
+        candidates = set(raw)
+    for candidate in candidates:
         if candidate not in answer_to_id:
             continue
-        if n <= 1:
-            acc = 1.0
-        else:
-            accs = []
-            for i in range(n):
-                others = gts[:i] + gts[i + 1:]
-                matches = sum(1 for g in others if g == candidate)
-                accs.append(min(1.0, matches / 3.0))
-            acc = float(np.mean(accs))
-        scores[answer_to_id[candidate]] = acc
+        scores[answer_to_id[candidate]] = _leave_one_out_score(candidate,
+                                                               gts)
     return scores
 
 
-def soft_accuracy(predicted_ids: np.ndarray, score_table: np.ndarray) -> float:
-    """Mean VQA accuracy from predicted answer ids + precomputed score rows.
+def per_question_scores(predicted_ids: np.ndarray,
+                        score_table: np.ndarray) -> np.ndarray:
+    """[N] per-question VQA accuracy from predicted answer ids +
+    precomputed score rows (:func:`answer_scores`) — the gather the
+    evaler's split-level and per-type breakdowns are built from."""
+    return score_table[np.arange(predicted_ids.shape[0]), predicted_ids]
 
-    ``predicted_ids``: [N] int answer-vocab ids; ``score_table``: [N, V]
-    per-question accuracy vectors from :func:`answer_scores`.
-    """
-    rows = np.arange(predicted_ids.shape[0])
-    return float(score_table[rows, predicted_ids].mean())
+
+def soft_accuracy(predicted_ids: np.ndarray, score_table: np.ndarray) -> float:
+    """Mean VQA accuracy from predicted answer ids + precomputed score rows
+    (the split-level reduction of :func:`per_question_scores`)."""
+    return float(per_question_scores(predicted_ids, score_table).mean())
