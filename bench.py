@@ -34,8 +34,12 @@ output, BENCH_r02.json rc=124):
   training started emit ``"status": "no_windows_yet_cold_start"`` (value
   0.0 = "not measured", never "measured zero"); fires with windows emit
   ``"status": "ok"``.
-- **Statistics**: value = trimmed mean (min/max dropped) of the steady
-  windows (first window discarded: it carries jit compile + upload);
+- **Statistics** (``_summarize``): value = trimmed mean (min/max
+  dropped) of the steady windows — first window discarded (jit compile +
+  upload), then any LEADING windows below half the median dropped as the
+  relay's cold-start dispatch ramp (same fixed cost as compile; counted
+  in ``ramp_windows_discarded``, never more than half the list, and only
+  a leading prefix — mid-run dips are real contention and stay).
   ``windows_qps_per_chip`` lists every window so the spread is visible;
   ``best_window_qps_per_chip`` is the most contention-free window — the
   stable secondary number on a link with ±30% relay variance (BASELINE.md).
@@ -122,23 +126,48 @@ def _read_windows(train_dir) -> list:
     return qps
 
 
+def _summarize(qps_windows: list, n_chips: int) -> dict:
+    """Pure window statistics (unit-tested in tests/test_bench.py).
+
+    - First window is discarded: it carries the jit compile + dataset
+      upload.
+    - LEADING windows below half the median of the remainder are the
+      relay's cold-start dispatch ramp (the host is still draining its
+      backlog; measured 603 then 12.3k q/s before five ~90k windows,
+      2026-08-18) — the same fixed cost as the compile window, so they
+      are excluded from the mean but stay visible in the window list and
+      are counted in ``ramp_windows_discarded``. Only a leading PREFIX is
+      ever dropped (at most half the windows): a mid-run dip is real
+      contention and stays in the mean.
+    - value = trimmed mean (min/max dropped) of what remains.
+    """
+    steady = qps_windows[1:] or qps_windows
+    per_chip = [float(q) / n_chips for q in steady]
+    ramp = 0
+    if len(per_chip) >= 4:
+        median = float(np.median(per_chip))
+        while (ramp < len(per_chip) // 2
+               and per_chip[ramp] < 0.5 * median):
+            ramp += 1
+    kept = sorted(per_chip[ramp:])
+    trimmed = kept[1:-1] if len(kept) >= 4 else kept
+    value = float(np.mean(trimmed)) if trimmed else 0.0
+    return {
+        "value": round(value, 2),
+        "vs_baseline": round(value / ROUND1_CEILING, 4),
+        "best_window_qps_per_chip": round(max(kept), 2) if kept else 0.0,
+        "windows_qps_per_chip": [round(q, 1) for q in per_chip],
+        "ramp_windows_discarded": ramp,
+    }
+
+
 def _emit(train_dir, n_chips: int, batch_size: int,
           partial: bool, status: str = "ok", extra: dict = None) -> None:
     qps_windows = _read_windows(train_dir)
-    # First window carries jit compile + dataset upload; the rest are
-    # steady-state pipeline throughput.
-    steady = qps_windows[1:] or qps_windows
-    per_chip = sorted(float(q) / n_chips for q in steady)
-    trimmed = per_chip[1:-1] if len(per_chip) >= 4 else per_chip
-    value = float(np.mean(trimmed)) if trimmed else 0.0
     print(json.dumps(dict({
         "metric": "vqa_e2e_train_questions_per_sec_per_chip_b256",
-        "value": round(value, 2),
         "unit": "questions/sec/chip",
-        "vs_baseline": round(value / ROUND1_CEILING, 4),
-        "best_window_qps_per_chip": round(per_chip[-1], 2) if per_chip
-        else 0.0,
-        "windows_qps_per_chip": [round(q, 1) for q in per_chip],
+        **_summarize(qps_windows, n_chips),
         "device_step_ms_profiled": DEVICE_STEP_MS_PROFILED,
         "batch_size": batch_size,
         "partial": partial,

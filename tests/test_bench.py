@@ -94,6 +94,39 @@ def test_watchdog_emits_windows_when_present(monkeypatch, capfd, tmp_path):
     assert last["best_window_qps_per_chip"] == pytest.approx(9000.0)
 
 
+def test_summarize_drops_leading_ramp_only():
+    """Cold-start dispatch-ramp windows (leading, < half the median) are
+    excluded from the mean like the compile window; a mid-run dip is real
+    contention and stays (2026-08-18 run: 603, 12.3k ramp before five
+    ~90k windows)."""
+    # first entry (compile window) discarded, then ramp prefix dropped
+    s = bench._summarize(
+        [1.0, 602.8, 12264.3, 87053.4, 91379.0, 94309.0, 93000.0], 1)
+    assert s["ramp_windows_discarded"] == 2
+    # kept [87053.4, 91379, 94309, 93000] -> trimmed mean of middle two
+    assert s["value"] == pytest.approx((91379.0 + 93000.0) / 2)
+    assert s["best_window_qps_per_chip"] == pytest.approx(94309.0)
+    assert len(s["windows_qps_per_chip"]) == 6  # all steady windows shown
+
+    # mid-run dip: not a leading prefix -> kept (trim handles it)
+    s = bench._summarize([1.0, 90e3, 91e3, 20e3, 92e3, 93e3], 1)
+    assert s["ramp_windows_discarded"] == 0
+    assert s["value"] == pytest.approx((90e3 + 91e3 + 92e3) / 3)
+
+    # uniformly slow day: median scales too, nothing dropped
+    s = bench._summarize([1.0, 20e3, 21e3, 22e3, 23e3], 1)
+    assert s["ramp_windows_discarded"] == 0
+
+    # ramp never eats more than half the windows
+    s = bench._summarize([1.0, 1.0, 2.0, 3.0, 100e3, 110e3, 120e3], 1)
+    assert s["ramp_windows_discarded"] <= 3
+
+    # short lists: no ramp logic, no trim
+    s = bench._summarize([1.0, 50e3, 60e3], 1)
+    assert s["value"] == pytest.approx(55e3)
+    assert bench._summarize([], 1)["value"] == 0.0
+
+
 @pytest.mark.parametrize("start,prof,k,max_steps,expect", [
     (128, 384, 32, 1024, 384),   # aligned: exact
     (128, 100, 32, 1024, 128),   # unaligned: rounds up to boundary

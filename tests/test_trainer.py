@@ -66,6 +66,38 @@ def test_sharded_equals_single_device(tiny_config, tmp_path,
                                    err_msg=str(path))
 
 
+def test_resident_lagged_windows_merge_final_drain(tiny_config, tmp_path,
+                                                   eight_cpu_devices):
+    """fit_resident's lagged metric windows: every log boundary writes its
+    metric VALUES, but the final drain (which pops the lagged window and
+    the last window back to back) reports ONE combined rate on the last
+    record — a second timer read there would measure relay round-trip
+    skew, not device compute (observed as a 2.5M q/s tail window,
+    2026-08-18). The q/s records' spans must partition [0, max_steps]."""
+    import json as _json
+    import os
+
+    cfg = tiny_config.replace_flat({"model.model": "vqa_baseline",
+                                    "train.log_every": 2})
+    spec = build_model(cfg)
+    ds = load_dataset(cfg, "train", stage=spec.stage)
+    tr = Trainer(cfg, spec, train_dir=str(tmp_path / "lag"))
+    s = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    tr.fit_resident(ds, s, max_steps=6)
+    tr.close()
+
+    recs = []
+    with open(os.path.join(str(tmp_path / "lag"), "metrics.jsonl")) as fh:
+        recs = [_json.loads(l) for l in fh if "train/loss" in l]
+    assert [r["step"] for r in recs] == [2, 4, 6]
+    qps_steps = [r["step"] for r in recs if "train/questions_per_sec" in r]
+    # boundary 4's drain logs window-2; the final drain logs 4 (values
+    # only) + 6 (combined rate over steps 2..6)
+    assert qps_steps == [2, 6]
+    spans = [b - a for a, b in zip([0] + qps_steps, qps_steps)]
+    assert sum(spans) == 6
+
+
 def test_device_resident_matches_streaming(tiny_config, tmp_path,
                                            eight_cpu_devices):
     """fit_resident (on-device gather by indices) == streaming fit."""

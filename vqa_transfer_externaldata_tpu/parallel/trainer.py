@@ -597,19 +597,39 @@ class Trainer:
         def log_window(final: bool) -> None:
             nonlocal last_log
             lagged.append((stepno, pending))
+            drain = []
             while len(lagged) > (0 if final else 1):
-                at, pend = lagged.pop(0)
-                m = {key: float(v)
-                     for key, v in jax.device_get(pend).items()}
-                dt = timer.reset()
-                m["steps_per_sec"] = (at - last_log) / max(dt, 1e-9)
-                m["questions_per_sec"] = m["steps_per_sec"] * t.batch_size
-                last_log = at
+                drain.append(lagged.pop(0))
+            if not drain:
+                return
+            # ONE wall measurement per drain. Wall time between fetches is
+            # honest device progress only while the device is the
+            # bottleneck; the final drain pops the lagged window AND the
+            # last window back to back, so a second timer read there would
+            # measure relay round-trip skew, not compute (observed as a
+            # 2.5M "q/s" tail window on an idle chip, 2026-08-18). The
+            # drain therefore logs each window's metric VALUES but one
+            # combined rate, on the last record, spanning every step the
+            # drain covers.
+            trees = jax.device_get([pend for _, pend in drain])
+            dt = timer.reset()
+            span = drain[-1][0] - last_log
+            for (at, _), tree in zip(drain, trees):
+                m = {key: float(v) for key, v in tree.items()}
+                if at == drain[-1][0]:
+                    m["steps_per_sec"] = span / max(dt, 1e-9)
+                    m["questions_per_sec"] = (m["steps_per_sec"]
+                                              * t.batch_size)
+                    log.info("step %6d  loss %.4f  acc %.4f  %.1f q/s",
+                             at, m.get("loss", float("nan")),
+                             m.get("accuracy", float("nan")),
+                             m["questions_per_sec"])
+                else:
+                    log.info("step %6d  loss %.4f  acc %.4f", at,
+                             m.get("loss", float("nan")),
+                             m.get("accuracy", float("nan")))
                 self.metrics.write(at, m, prefix="train")
-                log.info("step %6d  loss %.4f  acc %.4f  %.1f q/s", at,
-                         m.get("loss", float("nan")),
-                         m.get("accuracy", float("nan")),
-                         m["questions_per_sec"])
+            last_log = drain[-1][0]
 
         next_log = _next_multiple(stepno, t.log_every)
         next_eval = _next_multiple(stepno, t.eval_every)
