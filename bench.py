@@ -36,10 +36,17 @@ output, BENCH_r02.json rc=124):
   ``"status": "ok"``.
 - **Statistics** (``_summarize``): value = trimmed mean (min/max
   dropped) of the steady windows — first window discarded (jit compile +
-  upload), then any LEADING windows below half the median dropped as the
-  relay's cold-start dispatch ramp (same fixed cost as compile; counted
-  in ``ramp_windows_discarded``, never more than half the list, and only
-  a leading prefix — mid-run dips are real contention and stay).
+  upload); windows FASTER than the device physically is (>1.25× the
+  profiled ceiling — a relay fetch stall under-counts one window and
+  over-counts the next) merged harmonically into their predecessor
+  (``impossible_windows_merged``); then any LEADING windows below half
+  the median dropped as the relay's cold-start dispatch ramp (same fixed
+  cost as compile; counted in ``ramp_windows_discarded``, never more than
+  half the list, and only a leading prefix — mid-run dips are real
+  contention and stay). The trim is proportional (~1/8 of the windows
+  from each end) and the default run is 24 windows (3072 steps, ~8 s of
+  device compute) so the estimator is dominated by steady windows, not
+  the outlier budget.
   ``windows_qps_per_chip`` lists every window so the spread is visible;
   ``best_window_qps_per_chip`` is the most contention-free window — the
   stable secondary number on a link with ±30% relay variance (BASELINE.md).
@@ -126,11 +133,20 @@ def _read_windows(train_dir) -> list:
     return qps
 
 
-def _summarize(qps_windows: list, n_chips: int) -> dict:
+def _summarize(qps_windows: list, n_chips: int,
+               ceiling: float = None) -> dict:
     """Pure window statistics (unit-tested in tests/test_bench.py).
 
     - First window is discarded: it carries the jit compile + dataset
       upload.
+    - A window FASTER than the device physically is (> 1.25× the
+      profiled-device-step ceiling) means the relay stalled the previous
+      window's metric fetch and the next fetch returned instantly — the
+      under-counting and over-counting windows span honest wall time
+      only TOGETHER, so the impossible window is merged harmonically
+      into its predecessor (equal step counts) and counted in
+      ``impossible_windows_merged``. Measured 2026-08-18: a 31 s fetch
+      stall produced the pair (1,057; 2,328,265) q/s on a 93k chip.
     - LEADING windows below half the median of the remainder are the
       relay's cold-start dispatch ramp (the host is still draining its
       backlog; measured 603 then 12.3k q/s before five ~90k windows,
@@ -143,6 +159,23 @@ def _summarize(qps_windows: list, n_chips: int) -> dict:
     """
     steady = qps_windows[1:] or qps_windows
     per_chip = [float(q) / n_chips for q in steady]
+    merged = 0
+    if ceiling:
+        bound = 1.25 * ceiling
+        while len(per_chip) > 1:
+            idx = next((i for i, r in enumerate(per_chip) if r > bound),
+                       None)
+            if idx is None:
+                break
+            j = idx - 1 if idx > 0 else idx + 1
+            a, b = per_chip[idx], per_chip[j]
+            pair = 2.0 / (1.0 / max(a, 1e-9) + 1.0 / max(b, 1e-9))
+            lo, hi = min(idx, j), max(idx, j)
+            per_chip[lo:hi + 1] = [pair]
+            merged += 1
+        if len(per_chip) == 1 and per_chip[0] > bound:
+            per_chip[0] = bound  # single impossible window: clamp
+            merged += 1
     ramp = 0
     if len(per_chip) >= 4:
         median = float(np.median(per_chip))
@@ -150,7 +183,11 @@ def _summarize(qps_windows: list, n_chips: int) -> dict:
                and per_chip[ramp] < 0.5 * median):
             ramp += 1
     kept = sorted(per_chip[ramp:])
-    trimmed = kept[1:-1] if len(kept) >= 4 else kept
+    # Proportional trim: drop ~1/8 of the windows from each end (at least
+    # one once there are >=4), so longer runs keep a constant-fraction
+    # outlier budget instead of a single min/max slot.
+    cut = max(1, len(kept) // 8) if len(kept) >= 4 else 0
+    trimmed = kept[cut:-cut] if cut else kept
     value = float(np.mean(trimmed)) if trimmed else 0.0
     return {
         "value": round(value, 2),
@@ -158,16 +195,18 @@ def _summarize(qps_windows: list, n_chips: int) -> dict:
         "best_window_qps_per_chip": round(max(kept), 2) if kept else 0.0,
         "windows_qps_per_chip": [round(q, 1) for q in per_chip],
         "ramp_windows_discarded": ramp,
+        "impossible_windows_merged": merged,
     }
 
 
 def _emit(train_dir, n_chips: int, batch_size: int,
           partial: bool, status: str = "ok", extra: dict = None) -> None:
     qps_windows = _read_windows(train_dir)
+    ceiling = batch_size / DEVICE_STEP_MS_PROFILED * 1000.0
     print(json.dumps(dict({
         "metric": "vqa_e2e_train_questions_per_sec_per_chip_b256",
         "unit": "questions/sec/chip",
-        **_summarize(qps_windows, n_chips),
+        **_summarize(qps_windows, n_chips, ceiling=ceiling),
         "device_step_ms_profiled": DEVICE_STEP_MS_PROFILED,
         "batch_size": batch_size,
         "partial": partial,
@@ -306,7 +345,12 @@ def main() -> None:
     batch_size = 256 if on_tpu else 32
     wd.batch_size = batch_size
     window = 128 if on_tpu else 3
-    n_windows = int(os.environ.get("BENCH_WINDOWS", "8" if on_tpu else "4"))
+    # 24 windows = 3072 steps = ~8.4 s of DEVICE compute at the 2.74 ms
+    # step: nearly free on-chip, but 3x the samples for the trimmed mean.
+    # With 8 windows (2026-08-18 runs 9-12) a single relay stall plus the
+    # dispatch ramp could consume the trim's whole outlier budget; at 24
+    # the estimator is dominated by steady windows.
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "24" if on_tpu else "4"))
     overrides = {
         "data.synthetic": True,
         "train.batch_size": batch_size,

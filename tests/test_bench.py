@@ -127,6 +127,46 @@ def test_summarize_drops_leading_ramp_only():
     assert bench._summarize([], 1)["value"] == 0.0
 
 
+def test_summarize_merges_impossible_windows():
+    """A relay stall during a metric fetch under-counts one window and
+    over-counts the next (measured pair 1,057 / 2,328,265 q/s on a 93k
+    chip, 2026-08-18); only together do they span honest wall time, so a
+    window above 1.25x the profiled device ceiling merges harmonically
+    into its predecessor."""
+    ceiling = 92.4e3
+    # 2026-08-18 run shape: ramp, stall pair, three clean windows
+    s = bench._summarize(
+        [1.0, 36956.3, 1056.9, 2328264.6, 88109.0, 93884.1, 93077.5], 1,
+        ceiling=ceiling)
+    assert s["impossible_windows_merged"] == 1
+    pair = 2.0 / (1 / 1056.9 + 1 / 2328264.6)
+    assert s["windows_qps_per_chip"][1] == pytest.approx(pair, rel=1e-3)
+    # ramp (36956, merged-pair) dropped; kept [88109, 93884, 93077]
+    assert s["ramp_windows_discarded"] == 2
+    assert s["value"] == pytest.approx(
+        (88109.0 + 93884.1 + 93077.5) / 3, rel=1e-6)
+    # best window can never exceed the physical bound
+    assert s["best_window_qps_per_chip"] == pytest.approx(93884.1)
+
+    # stall on the FIRST steady window: merges into its successor; the
+    # merge cascades until the result is physically possible
+    s = bench._summarize([1.0, 500e3, 80e3, 85e3, 86e3], 1,
+                         ceiling=ceiling)
+    assert s["impossible_windows_merged"] >= 1
+    assert max(s["windows_qps_per_chip"]) <= 1.25 * ceiling
+
+    # clean run: nothing merged, same result as without a ceiling
+    clean = [1.0, 88e3, 90e3, 91e3, 92e3]
+    assert (bench._summarize(clean, 1, ceiling=ceiling)["value"]
+            == bench._summarize(clean, 1)["value"])
+
+    # genuine good windows on a contended day (median depressed) are NOT
+    # merged: the bound is physics (device ceiling), not the median
+    s = bench._summarize([1.0, 20e3, 21e3, 22e3, 90e3, 91e3], 1,
+                         ceiling=ceiling)
+    assert s["impossible_windows_merged"] == 0
+
+
 @pytest.mark.parametrize("start,prof,k,max_steps,expect", [
     (128, 384, 32, 1024, 384),   # aligned: exact
     (128, 100, 32, 1024, 128),   # unaligned: rounds up to boundary
