@@ -62,7 +62,14 @@ def _windows_qps(train_dir: str, key: str) -> list:
 
 def bench_stage1_vlmap(on_tpu: bool) -> dict:
     """Stage-1 (vlmap) resident-loop training throughput, regions/s/chip
-    (BASELINE.md round-2 row: 50,251)."""
+    (BASELINE.md round-2 row: 50,251).
+
+    Windows are summarized by ``bench._summarize`` (the flagship bench's
+    unit-tested statistics): first window (compile+upload) discarded,
+    leading sub-half-median windows dropped as relay cold-start ramp,
+    trimmed mean of the rest — a 2026-08-18 run measured windows
+    [17.8k, 106.5k, 106.8k] where a naive mean reads 77k against a
+    ~106.6k steady state."""
     from vqa_transfer_externaldata_tpu.config import Config
     from vqa_transfer_externaldata_tpu.data.datasets import synthetic_vlmap
     from vqa_transfer_externaldata_tpu.models.zoo import build_model
@@ -73,7 +80,7 @@ def bench_stage1_vlmap(on_tpu: bool) -> dict:
     cfg = Config().replace_flat({
         "data.synthetic": True, "model.model": "vlmap",
         "train.batch_size": batch, "train.log_every": window,
-        "train.max_steps": window * (5 if on_tpu else 2),
+        "train.max_steps": window * (8 if on_tpu else 2),
         "train.checkpoint_every": 10**9, "train.eval_every": 10**9,
         "train.device_data_cache": True,
         "train.steps_per_call": 32 if on_tpu else 2,
@@ -88,11 +95,13 @@ def bench_stage1_vlmap(on_tpu: bool) -> dict:
     state = trainer.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
     trainer.fit_resident(ds, state)
     trainer.close()
-    qps = sorted(q / n_chips for q in
-                 _windows_qps(train_dir, "train/questions_per_sec")[1:])
-    trimmed = qps[1:-1] if len(qps) >= 4 else qps
-    return {"regions_per_sec_per_chip": round(float(np.mean(trimmed)), 1),
-            "windows": [round(q, 1) for q in qps],
+    from bench import _summarize
+
+    stats = _summarize(_windows_qps(train_dir, "train/questions_per_sec"),
+                       n_chips)
+    return {"regions_per_sec_per_chip": stats["value"],
+            "windows": stats["windows_qps_per_chip"],
+            "ramp_windows_discarded": stats["ramp_windows_discarded"],
             "batch_size": batch}
 
 
@@ -105,7 +114,15 @@ def bench_resident_eval(on_tpu: bool) -> dict:
     time 17 ms of a 50-80 ms wall), understating the full-split rate a
     real 200k-row VQA val eval would see. answer_scores staying host-side
     (trainer._make_resident_evaluator) makes the bigger split nearly
-    upload-free (+2 MB)."""
+    upload-free (+2 MB).
+
+    Round-3 session 5: ``resident_fused_attention`` on — the headline
+    train bench's gather-free path serves eval too, and measuring the
+    gathered path here was understating eval 2.1x (device step 2.76 ->
+    0.99 ms/batch profiled; the [B, N, C] gather + the gathered Pallas
+    forward both disappear). Parity with the gathered evaluator is
+    pinned by tests/test_trainer.py::
+    test_resident_fused_attention_matches_gather."""
     from vqa_transfer_externaldata_tpu.config import Config
     from vqa_transfer_externaldata_tpu.data.datasets import (
         synthetic_vqa_joined)
@@ -116,6 +133,7 @@ def bench_resident_eval(on_tpu: bool) -> dict:
     cfg = Config().replace_flat({
         "data.synthetic": True, "train.batch_size": batch,
         "train.device_data_cache": True,
+        "train.resident_fused_attention": True,
         **({} if on_tpu else {
             "data.vocab_size": 256, "data.num_answers": 64,
             "data.feature_dim": 256, "data.pool5_dim": 256,

@@ -161,8 +161,13 @@ class TrainConfig:
     # With device_data_cache: skip the per-step [B, N, C] feature gather
     # entirely — the attention kernels read grid rows straight from the
     # resident store via Mosaic scalar prefetch (vqa_attention only,
-    # single glimpse). See ops/attention_resident.py.
-    resident_fused_attention: bool = False
+    # single glimpse). See ops/attention_resident.py. Default ON from
+    # round-3 session 5: strictly faster where it applies (train device
+    # step 5.09 -> 2.74 ms; eval 2.76 -> 0.99 ms/batch profiled),
+    # parity-tested vs the gathered path end-to-end, and it falls back to
+    # the gathered resident path automatically (with a log line) for
+    # models/shapes it does not cover.
+    resident_fused_attention: bool = True
     # With resident_fused_attention: quantize the resident feature store.
     # "int8": per-cell L2 prenormalization (store_prenormalized math,
     # unchanged) then symmetric int8 codes with ONE global scale — the

@@ -793,14 +793,20 @@ class Trainer:
             # On a >1-device data axis the op runs under shard_map, so the
             # PER-DEVICE batch must hit the kernel's 8-question window.
             n_data = self.mesh.shape[self.mesh.axis_names[0]]
+            model_ok = bool(getattr(self.spec.module, "n_cells", None)
+                            and getattr(self.spec.module, "glimpses", 1)
+                            == 1)
             fused_att = (self.cfg.train.resident_fused_attention
-                         and getattr(self.spec.module, "n_cells", None)
-                         and getattr(self.spec.module, "glimpses", 1) == 1
+                         and model_ok
                          and self.cfg.train.batch_size % (8 * n_data) == 0
                          and (not on_tpu or C2 % 128 == 0))
             if self.cfg.train.resident_fused_attention and not fused_att:
-                log.warning(
-                    "resident_fused_attention requested but unavailable "
+                # Default-on since round 3: a model the op does not cover
+                # (multi-glimpse / no spatial grid) falls back silently-ish;
+                # a SHAPE gate failing on a covered model is worth a
+                # warning — the user is leaving the fast path on the table.
+                (log.warning if model_ok else log.info)(
+                    "resident_fused_attention unavailable "
                     "(needs single-glimpse vqa_attention, batch %% "
                     "(8 * data-axis devices) == 0, feature_dim %% 128 == 0 "
                     "on TPU) — using the gathered resident path")
