@@ -231,3 +231,55 @@ def test_int8_store_under_shard_map(data, eight_cpu_devices):
     for name, a, b in zip(("dqh", "dwv", "dws"), g_s, g_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_store_sharded_shard_map_matches_replicated(eight_cpu_devices):
+    """store_sharded=True (the store's ROW axis partitioned P(data) over
+    the mesh, per-shard LOCAL row indices) must be bit-identical to the
+    replicated-store shard_map run with the corresponding global rows —
+    forward AND gradients. This is the HBM-capacity multi-chip contract
+    (config.train.store_sharded; each device holds M/n rows and computes
+    exactly what it would with the full store)."""
+    rng = np.random.default_rng(3)
+    n_dev = 8
+    M, N, C, H, B = 16, 8, 64, 32, 64  # 2 rows + 8 questions per device
+    store = rng.normal(size=(M, N, C)).astype(np.float32)
+    rps = M // n_dev
+    # slot d (positions d*8:(d+1)*8, placed on device d by the P(data)
+    # batch sharding) references only device d's rows — the layout the
+    # trainer's per-shard samplers stage. Contiguous-block layout here
+    # (global = d*rps + local) keeps the test free of the trainer's
+    # round-robin permutation, which is its own (host-side) concern.
+    rows_global = np.concatenate([
+        rng.integers(d * rps, (d + 1) * rps, size=B // n_dev)
+        for d in range(n_dev)]).astype(np.int32)
+    rows_local = (rows_global % rps).astype(np.int32)
+    qh = rng.normal(size=(B, H)).astype(np.float32)
+    wv = (rng.normal(size=(C, H)) * 0.05).astype(np.float32)
+    ws = (rng.normal(size=(H,)) * 0.1).astype(np.float32)
+    mesh = jax.sharding.Mesh(
+        np.array(eight_cpu_devices).reshape(n_dev, 1), ("data", "model"))
+
+    def run(sharded):
+        def f(qh, wv, ws):
+            va, al = spatial_attention_resident(
+                jnp.asarray(store),
+                jnp.asarray(rows_local if sharded else rows_global),
+                qh, wv, ws, n_valid=N, normalize=True, interpret=True,
+                mesh=mesh, data_axis="data", store_sharded=sharded)
+            return jnp.sum(va ** 2) + jnp.sum(al ** 3), (va, al)
+
+        (loss, outs), grads = jax.value_and_grad(
+            f, argnums=(0, 1, 2), has_aux=True)(
+            jnp.asarray(qh), jnp.asarray(wv), jnp.asarray(ws))
+        return jax.device_get((loss, outs, grads))
+
+    loss_r, outs_r, grads_r = run(False)
+    loss_s, outs_s, grads_s = run(True)
+    np.testing.assert_allclose(loss_s, loss_r, rtol=1e-6)
+    for name, a, b in zip(("v_att", "alpha"), outs_s, outs_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7, err_msg=name)
+    for name, a, b in zip(("dqh", "dwv", "dws"), grads_s, grads_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7, err_msg=name)

@@ -785,3 +785,157 @@ def test_log_cadence_every_interval_once(tiny_config, tmp_path,
     for boundary in range(6, 25, 6):
         assert any(boundary <= s < boundary + 4 for s in steps), (
             f"interval boundary {boundary} never logged: {steps}")
+
+
+def test_sharded_index_batches_unit():
+    """Per-shard sampler contract: slot d only yields rows owned by shard
+    d; each shard cycles seeded permutation epochs over its own rows
+    (full coverage before repeats); deterministic per seed; loud error on
+    a question-less shard."""
+    from vqa_transfer_externaldata_tpu.parallel.trainer import (
+        sharded_index_batches)
+
+    owner = np.array([0, 1, 2, 3] * 5 + [0, 1])  # shards 0/1: 6; 2/3: 5
+    it = sharded_index_batches(owner, 4, 2, seed=9)
+    seen = {d: [] for d in range(4)}
+    for _ in range(12):
+        batch = next(it)
+        assert batch.shape == (8,)
+        for d in range(4):
+            slot = batch[d * 2:(d + 1) * 2]
+            assert (owner[slot] == d).all(), (d, slot)
+            seen[d].extend(slot.tolist())
+    for d in range(4):
+        n_d = int((owner == d).sum())
+        # epoch property: any window of n_d consecutive draws covers all
+        # of shard d's rows exactly once (offsets may straddle epochs, so
+        # check the first full epoch from the start)
+        assert sorted(seen[d][:n_d]) == np.flatnonzero(owner == d).tolist()
+    it2 = sharded_index_batches(owner, 4, 2, seed=9)
+    np.testing.assert_array_equal(next(it2),
+                                  sharded_index_batches(owner, 4, 2,
+                                                        seed=9).__next__())
+    with pytest.raises(ValueError, match="own no dataset rows"):
+        next(sharded_index_batches(np.zeros(4, np.int64), 2, 1, seed=0))
+
+
+def test_store_sharded_matches_replicated(tiny_config, tmp_path,
+                                          eight_cpu_devices):
+    """--train.store_sharded (the resident feature store's row axis
+    partitioned over the data axis — the HBM-capacity mode): training
+    must reproduce the replicated-store fused run fed the IDENTICAL
+    per-shard index stream, and the sharded resident evaluator must
+    reproduce the streaming evaluator over the full split."""
+    from vqa_transfer_externaldata_tpu.data.features import (
+        FeatureStore, JoinedDataset)
+    from vqa_transfer_externaldata_tpu.parallel.evaler import padded_batches
+    from vqa_transfer_externaldata_tpu.parallel.trainer import (
+        sharded_index_batches)
+
+    base = tiny_config.replace_flat({"model.model": "vqa_attention",
+                                     "model.dropout": 0.0,
+                                     "model.dtype": "float32",
+                                     "train.batch_size": 64,
+                                     "train.steps_per_call": 2,
+                                     "train.device_data_cache": True,
+                                     "train.resident_fused_attention": True})
+    d = base.data
+    rng = np.random.default_rng(11)
+    M, n = 12, 100  # M % 8 != 0: exercises round-robin balance + row pad
+    store_path = str(tmp_path / "store.npz")
+    np.savez(store_path,
+             grid=rng.normal(size=(M, d.grid_h, d.grid_w, d.feature_dim))
+             .astype(np.float16),
+             pool5=rng.normal(size=(M, d.pool5_dim)).astype(np.float32),
+             image_ids=np.arange(M, dtype=np.int64))
+    rows = {
+        "q_ids": rng.integers(4, d.vocab_size,
+                              size=(n, d.max_question_len)).astype(np.int32),
+        "answer_id": rng.integers(4, d.num_answers, size=n).astype(np.int32),
+        "image_index": rng.integers(0, M, size=n).astype(np.int32),
+    }
+
+    def joined():
+        return JoinedDataset(dict(rows), FeatureStore(store_path),
+                             index_key="image_index",
+                             feature_keys=("features", "pool5"))
+
+    # A: sharded store
+    cfg_a = base.replace_flat({"train.store_sharded": True})
+    spec_a = build_model(cfg_a)
+    ds_a = joined()
+    tr_a = Trainer(cfg_a, spec_a, train_dir=str(tmp_path / "sharded"))
+    sa = tr_a.init_state(next(ds_a.batches(1, epochs=1, shuffle=False)))
+    data, _, _ = tr_a._prepare_resident(ds_a)
+    assert tr_a._resident_shard == (8, 2)  # ceil(12/8) rows per device
+    assert data["grid_pad"].shape[0] == 16  # padded to rps * n
+    assert tr_a.spec.module.store_sharded
+    from jax.sharding import PartitionSpec as P
+
+    assert (tr_a._resident_shardings(data)["grid_pad"].spec
+            == P(tr_a.mesh.axis_names[0]))
+    sa = tr_a.fit_resident(ds_a, sa, max_steps=6)
+    m_a, p_a = tr_a.evaluate_resident(sa, joined())
+    tr_a.close()
+
+    # B: replicated store, same per-shard index stream (sampler patched)
+    spec_b = build_model(base)
+    ds_b = joined()
+    tr_b = Trainer(base, spec_b, train_dir=str(tmp_path / "replicated"))
+    sb = tr_b.init_state(next(ds_b.batches(1, epochs=1, shuffle=False)))
+    owner = rows["image_index"] % 8
+    ds_b.index_batches = lambda bs, seed=0, **kw: sharded_index_batches(
+        owner, 8, bs // 8, seed)
+    sb = tr_b.fit_resident(ds_b, sb, max_steps=6)
+
+    for (p, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(jax.device_get(sa.params)),
+            jax.tree_util.tree_leaves_with_path(jax.device_get(sb.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6,
+                                   err_msg=jax.tree_util.keystr(p))
+
+    # sharded evaluator == streaming evaluator on the same state
+    batches, n_rows = padded_batches(joined(), base.train.batch_size)
+    m_s, p_s = tr_b.evaluate(sb, batches)
+    tr_b.close()
+    np.testing.assert_array_equal(p_a, p_s[:n_rows])
+    for k in m_s:
+        np.testing.assert_allclose(m_a[k], m_s[k], rtol=1e-4, atol=1e-4,
+                                   err_msg=k)
+
+
+def test_store_sharded_requires_fused_path(tiny_config, tmp_path,
+                                           eight_cpu_devices):
+    """store_sharded without a usable fused path must raise, not silently
+    replicate the store (the flag exists to NOT hold the full store per
+    device)."""
+    from vqa_transfer_externaldata_tpu.data.features import (
+        FeatureStore, JoinedDataset)
+
+    cfg = tiny_config.replace_flat({
+        "model.model": "vqa_attention", "model.dtype": "float32",
+        "train.device_data_cache": True,
+        "train.resident_fused_attention": True,
+        "train.store_sharded": True,
+        "train.batch_size": 24,  # 24 % (8 * 8 devices) != 0 -> no fused
+    })
+    d = cfg.data
+    rng = np.random.default_rng(0)
+    store_path = str(tmp_path / "store.npz")
+    np.savez(store_path,
+             grid=rng.normal(size=(8, d.grid_h, d.grid_w, d.feature_dim))
+             .astype(np.float16),
+             pool5=rng.normal(size=(8, d.pool5_dim)).astype(np.float32),
+             image_ids=np.arange(8, dtype=np.int64))
+    ds = JoinedDataset(
+        {"q_ids": rng.integers(4, d.vocab_size, size=(32, d.max_question_len))
+         .astype(np.int32),
+         "answer_id": rng.integers(4, d.num_answers, size=32).astype(np.int32),
+         "image_index": rng.integers(0, 8, size=32).astype(np.int32)},
+        FeatureStore(store_path), index_key="image_index",
+        feature_keys=("features", "pool5"))
+    tr = Trainer(cfg, build_model(cfg), train_dir=str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="store_sharded requires"):
+        tr._prepare_resident(ds)
+    tr.close()

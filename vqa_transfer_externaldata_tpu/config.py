@@ -178,6 +178,18 @@ class TrainConfig:
     # (~0.4% relative on v_att; parity + accuracy tests in
     # tests/test_attention_resident.py). "" = bf16 store (exact).
     store_quantize: str = ""
+    # With resident_fused_attention on a >1-device data axis: partition
+    # the resident feature store's ROW axis over the data axis instead of
+    # replicating it — each device holds M/n contiguous image rows and
+    # trains on the questions whose image it owns (per-shard seeded
+    # sampling; standard pre-sharded data-parallel semantics). This is
+    # the HBM-capacity mode: the aggregate store can be ~n_devices times
+    # one chip's HBM (the real VQA v2 grid store, ~66 GB bf16, fits a
+    # v5e-8 at 8.3 GB/chip). Math per step is identical to the replicated
+    # store given the same batches (tested); requires the fused resident
+    # path (raises otherwise — silently replicating would defeat the
+    # point of the flag).
+    store_sharded: bool = False
     # With device_data_cache on a JoinedDataset: order each staged index
     # batch by its store row (image_index). Batch COMPOSITION is unchanged
     # — only the within-batch order, to which every reduction (loss mean,

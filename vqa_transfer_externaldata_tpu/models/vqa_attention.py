@@ -72,6 +72,12 @@ class VQAAttentionModel(nn.Module):
     # (train.store_quantize): the global dequantization scale the op
     # folds outside its kernels. 1.0 for float stores.
     store_scale: float = 1.0
+    # Set by the Trainer for a row-sharded resident store
+    # (train.store_sharded): the store arrives partitioned over the data
+    # axis and feat_rows are per-shard LOCAL indices — the op's shard_map
+    # takes P(data) for the store instead of replicating it
+    # (ops/attention_resident store_sharded docstring).
+    store_sharded: bool = False
     word_init: Optional[np.ndarray] = None  # [vocab, word_dim] GloVe
     answer_init: Optional[np.ndarray] = None  # [answers, answer_dim]
 
@@ -132,7 +138,8 @@ class VQAAttentionModel(nn.Module):
                                and not self.store_prenormalized
                                and not quant),
                     store_scale=self.store_scale if quant else 1.0,
-                    mesh=self.data_mesh, data_axis=self.data_axis_name)
+                    mesh=self.data_mesh, data_axis=self.data_axis_name,
+                    store_sharded=self.store_sharded)
             else:
                 # Mode-dependent forward dispatch (measured on v5e, batch
                 # 256): the Pallas streaming kernel wins forward-only

@@ -39,6 +39,10 @@ through the trainer
 (tests/test_trainer.py::test_resident_fused_attention_matches_gather);
 the driver's multi-chip artifact runs it via
 ``__graft_entry__.dryrun_multichip``.
+
+``store_sharded=True`` additionally partitions the store's ROW axis over
+the data axis (``P(data)``) — the HBM-capacity mode, see
+``spatial_attention_resident``'s docstring and ``train.store_sharded``.
 """
 
 from __future__ import annotations
@@ -416,6 +420,7 @@ def spatial_attention_resident(
     store_scale: float = 1.0,
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: Optional[str] = None,
+    store_sharded: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-free attention: returns (v_att [B, C] f32,
     alpha [B, n_valid] f32). Gradients flow to qh/wv/w_score only (the
@@ -423,6 +428,18 @@ def spatial_attention_resident(
     the op runs under ``jax.shard_map``: store/wv/w_score replicated,
     rows/qh/outputs sharded on the data axis, each shard its own B/n
     grid (see module docstring).
+
+    ``store_sharded``: the store's ROW axis is itself partitioned over
+    the data axis (``P(data_axis)`` instead of replicated) — each device
+    holds M/n contiguous rows and ``rows`` must already be LOCAL indices
+    into that device's shard, with every question routed to the device
+    owning its image (``parallel.trainer`` stages batches that way).
+    This is the HBM-capacity mode: the aggregate store can be ~n times
+    one chip's HBM (the real VQA v2 grid store is ~66 GB bf16 — far
+    beyond one v5e — but 8.3 GB/chip sharded over a v5e-8). Compute and
+    gradients are unchanged: each shard runs exactly the math it would
+    run with a replicated store, and dwv/dws remain cross-shard psums
+    from shard_map's transpose.
 
     ``store`` may be an int8 quantized store (``quantize_store`` of an
     L2-prenormalized grid) with its global ``store_scale``: HBM traffic
@@ -442,7 +459,8 @@ def spatial_attention_resident(
         P = jax.sharding.PartitionSpec
         fused = jax.shard_map(
             fused, mesh=mesh,
-            in_specs=(P(), P(data_axis), P(data_axis), P(), P()),
+            in_specs=(P(data_axis) if store_sharded else P(),
+                      P(data_axis), P(data_axis), P(), P()),
             out_specs=(P(data_axis), P(data_axis)),
             # The body is a custom_vjp call; skip the varying-axes check
             # (the specs above state the replication contract explicitly).

@@ -58,6 +58,51 @@ def _next_multiple(step: int, every: int) -> int:
     return (step // every + 1) * every
 
 
+def sharded_index_batches(owner: np.ndarray, n_shards: int,
+                          per_shard: int, seed: int):
+    """Seeded per-shard index sampler for ``train.store_sharded``.
+
+    ``owner[i]`` is the store shard (0..n_shards-1) holding row ``i``'s
+    image. Yields [n_shards * per_shard] int64 batches whose slot ``d``
+    (positions ``d*per_shard:(d+1)*per_shard``) contains only rows owned
+    by shard ``d`` — the layout ``NamedSharding(P(None, 'data'))`` places
+    on device ``d``, so each device's fused-attention grid reads only its
+    local store shard. Every shard draws from an independent seeded
+    permutation epoch over its own rows (standard pre-sharded
+    data-parallel sampling: each worker owns a fixed dataset slice);
+    shards cycle their epochs at their own rate, so no global epoch
+    boundary exists. Deterministic given (owner, n_shards, per_shard,
+    seed) — tests replay the exact stream through the gathered path."""
+    lists = [np.flatnonzero(owner == d) for d in range(n_shards)]
+    empty = [d for d, l in enumerate(lists) if l.size == 0]
+    if empty:
+        raise ValueError(
+            f"store_sharded: store shard(s) {empty} own no dataset rows — "
+            "every shard needs at least one question (rebalance the store "
+            "or reduce the data-axis size)")
+    rngs = [np.random.default_rng(
+        np.random.SeedSequence([seed, 0x5A7D, d])) for d in range(n_shards)]
+    pools = [rng.permutation(l) for rng, l in zip(rngs, lists)]
+    offs = [0] * n_shards
+    while True:
+        parts = []
+        for d in range(n_shards):
+            take = []
+            need = per_shard
+            while need:
+                avail = pools[d][offs[d]:offs[d] + need]
+                if avail.size == 0:  # epoch exhausted: reshuffle
+                    pools[d] = rngs[d].permutation(lists[d])
+                    offs[d] = 0
+                    continue
+                take.append(avail)
+                offs[d] += avail.size
+                need -= avail.size
+            parts.append(np.concatenate(take) if len(take) > 1
+                         else take[0])
+        yield np.concatenate(parts)
+
+
 def _freeze_mask_fn(names_csv: str) -> Callable[[Any], Any]:
     """Pytree-of-bools mask: True (frozen) where any path component of the
     leaf matches a name in the comma-separated list."""
@@ -167,6 +212,9 @@ class Trainer:
             self.mesh, P(None, self.mesh.axis_names[0]))
         self._shard_rules = tuple(
             s.strip() for s in cfg.mesh.shard_params.split(",") if s.strip())
+        # (n_shards, rows_per_shard) once _prepare_resident has staged a
+        # row-sharded store (train.store_sharded), else None.
+        self._resident_shard: Optional[Tuple[int, int]] = None
         self._step_cache: Dict[int, Callable] = {}
         # Prime the default-k step now: _build_train_step also records
         # _raw_step_fn (read by init_state and the resident paths).
@@ -511,11 +559,15 @@ class Trainer:
         store_rows = next((data[key].shape[0]
                            for key in ("grid0", "grid_pad") if key in data),
                           None)
-        log.info("device-resident dataset: %d rows%s, %.2f GB uploaded once",
+        log.info("device-resident dataset: %d rows%s, %.2f GB uploaded "
+                 "once%s",
                  ds.size,
                  f" + {store_rows}-row feature store" if store_rows else "",
-                 nbytes / 1e9)
-        dev_arrays = put_sharded(data, self._repl)
+                 nbytes / 1e9,
+                 (f" (store row-sharded {self._resident_shard[0]}-way)"
+                  if self._resident_shard else ""))
+        data_shardings = self._resident_shardings(data)
+        dev_arrays = put_sharded(data, data_shardings)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         raw_step = self._raw_step_fn
@@ -551,7 +603,7 @@ class Trainer:
             return jax.jit(step_scan,
                            in_shardings=(self._state_in_spec(), kidx_shard,
                                          self._repl,
-                                         self._repl),
+                                         data_shardings),
                            out_shardings=(self._state_in_spec(), self._repl,
                                           self._repl),
                            donate_argnums=donate)
@@ -633,7 +685,17 @@ class Trainer:
 
         next_log = _next_multiple(stepno, t.log_every)
         next_eval = _next_multiple(stepno, t.eval_every)
-        indices = ds.index_batches(t.batch_size, seed=t.seed)
+        if self._resident_shard is not None:
+            # Row-sharded store: each device samples the questions whose
+            # image it owns (round-robin owner = row % n; per-shard
+            # seeded epochs; slot layout matches the P(None, 'data')
+            # index-segment sharding below).
+            n_sh, _ = self._resident_shard
+            owner = np.asarray(ds.arrays[ds.index_key]) % n_sh
+            indices = sharded_index_batches(
+                owner, n_sh, t.batch_size // n_sh, t.seed)
+        else:
+            indices = ds.index_batches(t.batch_size, seed=t.seed)
         # Within-batch image-locality sort (train.sort_batch_by_image,
         # default off): pure within-batch permutation — every per-batch
         # reduction is order-invariant, so training is equivalent up to
@@ -759,6 +821,11 @@ class Trainer:
         arrays = self._cast_features_host(arrays)
         data: Dict[str, Any] = {"rows": arrays}
         joined = isinstance(ds, JoinedDataset)
+        # (n_shards, rows_per_shard) of a row-sharded store, else None —
+        # read by fit_resident / _make_resident_evaluator for the upload
+        # sharding, the per-shard sampler, and the eval epoch layout.
+        self._resident_shard = None
+        rps = 0
         index_key, feature_keys = "", ()
         if joined:
             index_key, feature_keys = ds.index_key, ds.feature_keys
@@ -810,6 +877,20 @@ class Trainer:
                     "(needs single-glimpse vqa_attention, batch %% "
                     "(8 * data-axis devices) == 0, feature_dim %% 128 == 0 "
                     "on TPU) — using the gathered resident path")
+            if self.cfg.train.store_sharded and not fused_att:
+                # The whole point of the flag is NOT holding the full
+                # store per device; silently replicating it would OOM the
+                # exact workload the user set the flag for.
+                raise ValueError(
+                    "train.store_sharded requires the fused resident "
+                    "attention path (single-glimpse vqa_attention, "
+                    "resident_fused_attention on, batch % (8 * data-axis "
+                    "devices) == 0, feature_dim % 128 == 0 on TPU)")
+            if self.cfg.train.store_sharded and jax.process_count() > 1:
+                raise ValueError(
+                    "train.store_sharded is single-process for now: "
+                    "multi-host staging of per-process store shards is "
+                    "not implemented")
             n_planes = 0
             if fused_att:
                 # Gather-free mode: ONE padded store; the attention
@@ -855,7 +936,35 @@ class Trainer:
                         "fused resident path (normalize_v model + "
                         "resident_fused_attention); keeping float store",
                         quantize)
-                data["grid_pad"] = pad_store_rows(grid_c)
+                grid_pad = pad_store_rows(grid_c)
+                if self.cfg.train.store_sharded:
+                    # Row-sharded store (HBM-capacity mode): rows are
+                    # assigned ROUND-ROBIN (owner = row % n, shard-local
+                    # = row // n) — balanced within one row for ANY store
+                    # size, and no empty tail shard (a contiguous split
+                    # of a padded row axis strands the padding — and any
+                    # trailing question-less images — on the last
+                    # shards). The upload is permuted so device d's
+                    # contiguous P(data) block holds its rows
+                    # [d, d+n, d+2n, ...]; the op's shard_map takes
+                    # P(data) for the store, make_batch remaps global
+                    # rows to shard-local ones, and the samplers route
+                    # each question to its image's owner device
+                    # (sharded_index_batches / the evaluator's per-shard
+                    # epochs).
+                    M_rows = grid_pad.shape[0]
+                    rps = -(-M_rows // n_data)
+                    perm = np.zeros((rps * n_data,) + grid_pad.shape[1:],
+                                    grid_pad.dtype)
+                    src = np.arange(M_rows)
+                    perm[(src % n_data) * rps + src // n_data] = grid_pad
+                    grid_pad = perm
+                    self._resident_shard = (n_data, rps)
+                data["grid_pad"] = grid_pad
+                if getattr(self.spec.module, "store_sharded", None) \
+                        is not None:
+                    self._set_module_attrs(
+                        store_sharded=self._resident_shard is not None)
             else:
                 n_planes = max(1, (C2 + 1023) // 1024)
                 width = (C2 + n_planes - 1) // n_planes
@@ -867,6 +976,11 @@ class Trainer:
             n_planes = 0
             fused_att = False
 
+        # Captured as a LOCAL: make_batch can be re-traced lazily (e.g.
+        # the tail-k train dispatch) after a later _prepare_resident call
+        # (an eval split) has overwritten self._resident_shard.
+        shard_n = n_data if self._resident_shard is not None else 0
+
         def make_batch(idx, data):
             batch = {k: jnp.take(v, idx, axis=0)
                      for k, v in data["rows"].items()}
@@ -876,8 +990,14 @@ class Trainer:
                     if key in ("feature", "pool5"):
                         batch[key] = jnp.take(data["pool5"], rows, axis=0)
                     elif fused_att:
-                        # No gather: hand the model (store, rows).
-                        batch["features"] = (data["grid_pad"], rows)
+                        # No gather: hand the model (store, rows). For a
+                        # row-sharded store the rows become shard-LOCAL
+                        # (round-robin: local = row // n): the samplers
+                        # place each question on its image's owner device
+                        # (owner = row % n).
+                        batch["features"] = (
+                            data["grid_pad"],
+                            rows // shard_n if shard_n else rows)
                     else:
                         # (An [N, M, Cp]-transposed staging was tried to
                         # hand the gather the n-outer layout consumers
@@ -911,22 +1031,53 @@ class Trainer:
         # n*A*4 bytes and drops a [B, A] gather from every scan step.
         data, make_batch, nbytes = self._prepare_resident(
             ds, drop_keys=("answer_scores",))
+        shard = self._resident_shard
         log.info("device-resident eval split: %d rows, %.2f GB uploaded "
-                 "once", ds.size, nbytes / 1e9)
-        dev_arrays = put_sharded(data, self._repl)
+                 "once%s", ds.size, nbytes / 1e9,
+                 f" (store row-sharded {shard[0]}-way)" if shard else "")
+        dev_arrays = put_sharded(data, self._resident_shardings(data))
         bshard = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
         spec = self.spec
         B = self.cfg.train.batch_size
         n = len(ds)
 
-        # Padded index epoch, staged host-side once: [n_batches, B].
-        starts = list(range(0, n, B))
-        idxs = np.zeros((len(starts), B), np.int32)
-        masks = np.zeros((len(starts), B), np.float32)
-        for r, start in enumerate(starts):
-            stop = min(start + B, n)
-            idxs[r, :stop - start] = np.arange(start, stop)
-            masks[r, :stop - start] = 1.0
+        if shard is None:
+            # Padded index epoch, staged host-side once: [n_batches, B].
+            starts = list(range(0, n, B))
+            idxs = np.zeros((len(starts), B), np.int32)
+            masks = np.zeros((len(starts), B), np.float32)
+            for r, start in enumerate(starts):
+                stop = min(start + B, n)
+                idxs[r, :stop - start] = np.arange(start, stop)
+                masks[r, :stop - start] = 1.0
+            positions = None
+        else:
+            # Row-sharded store: device d can only evaluate questions
+            # whose image lives in its store shard, so the epoch is laid
+            # out per shard — [n_batches, n_sh, B/n_sh], each shard
+            # consuming ITS question list in order, padded (mask 0) to
+            # the longest shard's batch count. ``positions`` maps every
+            # (batch, slot) back to the original row for the pred
+            # scatter; padded slots reuse row 0 (any global row is a
+            # valid LOCAL store index after the % remap) and are masked.
+            n_sh, _ = shard
+            per_dev = B // n_sh
+            owner = np.asarray(ds.arrays[ds.index_key]) % n_sh
+            lists = [np.flatnonzero(owner == d) for d in range(n_sh)]
+            n_batches = max(1, max(-(-l.size // per_dev) for l in lists))
+            idxs = np.zeros((n_batches, n_sh, per_dev), np.int32)
+            masks = np.zeros((n_batches, n_sh, per_dev), np.float32)
+            positions = np.full((n_batches, n_sh, per_dev), -1, np.int64)
+            for d, rows_d in enumerate(lists):
+                for r in range(n_batches):
+                    seg = rows_d[r * per_dev:(r + 1) * per_dev]
+                    idxs[r, d, :seg.size] = seg
+                    masks[r, d, :seg.size] = 1.0
+                    positions[r, d, :seg.size] = seg
+            idxs = idxs.reshape(n_batches, B)
+            masks = masks.reshape(n_batches, B)
+            positions = positions.reshape(-1)
+            starts = list(range(n_batches))  # weight denominator rows
 
         def eval_all(params, extra_vars, idxs, masks, data):
             def body(_, xs):
@@ -947,7 +1098,7 @@ class Trainer:
         eval_step = jax.jit(
             eval_all,
             in_shardings=(self._state_in_spec(), self._repl, bshard, bshard,
-                          self._repl),
+                          self._resident_shardings(data)),
             out_shardings=(bshard, self._repl))
         dev_idxs = put_sharded(idxs, bshard)
         dev_masks = put_sharded(masks, bshard)
@@ -965,7 +1116,16 @@ class Trainer:
             w = m.pop("weight", np.ones(len(starts)))
             total_w = max(float(w.sum()), 1e-9)
             means = {k: float((v * w).sum() / total_w) for k, v in m.items()}
-            preds = np.asarray(p).reshape(-1)[:n]
+            if positions is None:
+                preds = np.asarray(p).reshape(-1)[:n]
+            else:
+                # Sharded epoch: scatter per-shard slot predictions back
+                # to the split's original row order; padded slots
+                # (position -1) drop.
+                flat = np.asarray(p).reshape(-1)
+                sel = positions >= 0
+                preds = np.zeros((n,), flat.dtype)
+                preds[positions[sel]] = flat[sel]
             if scores_host is not None and labels_host is not None:
                 # Same weighting as vqa_loss's in-loop indicator (valid =
                 # answer in vocab; padding already excluded by [:n]).
@@ -983,6 +1143,20 @@ class Trainer:
                           ) -> Tuple[Dict[str, float], np.ndarray]:
         """One-shot :meth:`_make_resident_evaluator` (upload + run)."""
         return self._make_resident_evaluator(ds)(state)
+
+    def _resident_shardings(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        """Per-leaf shardings for a resident data tree: everything
+        replicated except ``grid_pad``, whose row axis is partitioned over
+        the data axis when ``_prepare_resident`` staged a sharded store
+        (train.store_sharded). Feeds both the one-time upload and the jit
+        in_shardings of the resident train/eval programs."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shards = jax.tree_util.tree_map(lambda _: self._repl, data)
+        if self._resident_shard is not None and "grid_pad" in data:
+            shards["grid_pad"] = NamedSharding(
+                self.mesh, P(self.mesh.axis_names[0]))
+        return shards
 
     def _cast_features_host(self, arrays: Dict[str, np.ndarray]
                             ) -> Dict[str, np.ndarray]:
