@@ -939,3 +939,81 @@ def test_store_sharded_requires_fused_path(tiny_config, tmp_path,
     with pytest.raises(ValueError, match="store_sharded requires"):
         tr._prepare_resident(ds)
     tr.close()
+
+
+def test_store_sharded_int8_on_tp_mesh(tiny_config, tmp_path,
+                                       eight_cpu_devices):
+    """The capacity stack composes: int8-quantized AND row-sharded store
+    on a (data=4, model=2) tensor-parallel mesh — 8x fewer bytes per
+    device than a replicated bf16 store. Parity against the int8
+    replicated run on the identical per-shard stream."""
+    from vqa_transfer_externaldata_tpu.data.features import (
+        FeatureStore, JoinedDataset)
+    from vqa_transfer_externaldata_tpu.parallel.trainer import (
+        sharded_index_batches)
+
+    base = tiny_config.replace_flat({
+        "model.model": "vqa_attention", "model.dropout": 0.0,
+        "model.dtype": "float32",
+        "train.batch_size": 64,  # 16/dev on the 4-way data axis
+        "train.steps_per_call": 2,
+        "train.device_data_cache": True,
+        "train.resident_fused_attention": True,
+        "train.store_quantize": "int8",
+        "mesh.num_model": 2,
+        "mesh.shard_params": "answer_embedding,word_emb",
+    })
+    d = base.data
+    rng = np.random.default_rng(5)
+    M, n = 10, 96  # M % 4 != 0: round-robin + pad on the 4-way data axis
+    store_path = str(tmp_path / "store.npz")
+    np.savez(store_path,
+             grid=rng.normal(size=(M, d.grid_h, d.grid_w, d.feature_dim))
+             .astype(np.float16),
+             pool5=rng.normal(size=(M, d.pool5_dim)).astype(np.float32),
+             image_ids=np.arange(M, dtype=np.int64))
+    rows = {
+        "q_ids": rng.integers(4, d.vocab_size,
+                              size=(n, d.max_question_len)).astype(np.int32),
+        "answer_id": rng.integers(4, d.num_answers, size=n).astype(np.int32),
+        "image_index": rng.integers(0, M, size=n).astype(np.int32),
+    }
+
+    def joined():
+        return JoinedDataset(dict(rows), FeatureStore(store_path),
+                             index_key="image_index",
+                             feature_keys=("features", "pool5"))
+
+    owner = rows["image_index"] % 4
+    results = {}
+    for sharded in (True, False):
+        cfg = base.replace_flat({"train.store_sharded": sharded})
+        spec = build_model(cfg)
+        ds = joined()
+        tr = Trainer(cfg, spec, train_dir=str(tmp_path / f"s{sharded}"))
+        assert tr.mesh.shape["model"] == 2
+        s = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+        if sharded:
+            data, _, _ = tr._prepare_resident(ds)
+            assert tr._resident_shard == (4, 3)  # ceil(10/4) rows/device
+            assert data["grid_pad"].dtype == np.int8
+        else:
+            ds.index_batches = (
+                lambda bs, seed=0, **kw: sharded_index_batches(
+                    owner, 4, bs // 4, seed))
+        s = tr.fit_resident(ds, s, max_steps=4)
+        m, p = tr.evaluate_resident(s, joined())
+        results[sharded] = (jax.device_get(s.params), m, p)
+        tr.close()
+
+    pa, ma, preda = results[True]
+    pb, mb, predb = results[False]
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(pa),
+                              jax.tree_util.tree_leaves_with_path(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6,
+                                   err_msg=jax.tree_util.keystr(k))
+    np.testing.assert_array_equal(preda, predb)
+    for k in mb:
+        np.testing.assert_allclose(ma[k], mb[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
