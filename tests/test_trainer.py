@@ -630,19 +630,27 @@ def test_int8_store_trains_and_evals_close_to_float(tiny_config, tmp_path,
     tr.close()
 
 
+@pytest.mark.parametrize("store_sharded", [False, True])
 def test_sort_batch_by_image_is_training_invariant(tiny_config, tmp_path,
-                                                   eight_cpu_devices):
+                                                   eight_cpu_devices,
+                                                   store_sharded):
     """train.sort_batch_by_image reorders each staged index batch by its
     store row (image-locality for the resident kernels' block fetches) —
     a pure WITHIN-batch permutation, so training must reach the same
-    params as the unsorted stream (up to float summation order)."""
+    params as the unsorted stream (up to float summation order). With a
+    row-sharded store the sort is constrained WITHIN each device slot
+    (a whole-batch sort would interleave shard owners and route
+    questions off their image's device) — same invariance holds."""
     from vqa_transfer_externaldata_tpu.data.features import (
         FeatureStore, JoinedDataset)
 
     base = tiny_config.replace_flat({"model.model": "vqa_attention",
                                      "model.dropout": 0.0,
                                      "model.dtype": "float32",
-                                     "train.batch_size": 32})
+                                     # sharded needs batch % (8*n_dev)==0
+                                     "train.batch_size":
+                                         64 if store_sharded else 32,
+                                     "train.store_sharded": store_sharded})
     d = base.data
     rng = np.random.default_rng(7)
     M, n = 8, 96  # heavy duplication: ~12 questions per image

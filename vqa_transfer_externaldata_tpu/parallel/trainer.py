@@ -559,13 +559,17 @@ class Trainer:
         store_rows = next((data[key].shape[0]
                            for key in ("grid0", "grid_pad") if key in data),
                           None)
+        # THIS fit's shard info, captured before any in-loop evaluator's
+        # _prepare_resident (a different dataset) can overwrite the
+        # trainer-level attribute.
+        shard_info = self._resident_shard
         log.info("device-resident dataset: %d rows%s, %.2f GB uploaded "
                  "once%s",
                  ds.size,
                  f" + {store_rows}-row feature store" if store_rows else "",
                  nbytes / 1e9,
-                 (f" (store row-sharded {self._resident_shard[0]}-way)"
-                  if self._resident_shard else ""))
+                 (f" (store row-sharded {shard_info[0]}-way)"
+                  if shard_info else ""))
         data_shardings = self._resident_shardings(data)
         dev_arrays = put_sharded(data, data_shardings)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -685,12 +689,12 @@ class Trainer:
 
         next_log = _next_multiple(stepno, t.log_every)
         next_eval = _next_multiple(stepno, t.eval_every)
-        if self._resident_shard is not None:
+        if shard_info is not None:
             # Row-sharded store: each device samples the questions whose
             # image it owns (round-robin owner = row % n; per-shard
             # seeded epochs; slot layout matches the P(None, 'data')
             # index-segment sharding below).
-            n_sh, _ = self._resident_shard
+            n_sh, _ = shard_info
             owner = np.asarray(ds.arrays[ds.index_key]) % n_sh
             indices = sharded_index_batches(
                 owner, n_sh, t.batch_size // n_sh, t.seed)
@@ -733,8 +737,24 @@ class Trainer:
                 n_rows = min(seg_steps, ((todo + k - 1) // k) * k)
                 rows = [next(indices) for _ in range(min(n_rows, todo))]
                 if sort_rows is not None:
-                    rows = [r[np.argsort(sort_rows[r], kind="stable")]
-                            for r in rows]
+                    if shard_info is not None:
+                        # Sharded store: sort WITHIN each device slot —
+                        # a whole-batch sort would interleave shard
+                        # owners (round-robin owner = row % n) and route
+                        # questions to devices that do not hold their
+                        # image rows.
+                        ns = shard_info[0]
+
+                        def _slot_sort(r, ns=ns):
+                            parts = r.reshape(ns, -1)
+                            return np.concatenate(
+                                [p[np.argsort(sort_rows[p], kind="stable")]
+                                 for p in parts])
+
+                        rows = [_slot_sort(r) for r in rows]
+                    else:
+                        rows = [r[np.argsort(sort_rows[r], kind="stable")]
+                                for r in rows]
                 while len(rows) < n_rows:  # static shapes for the tail
                     rows.append(rows[-1])
                 seg = np.stack(rows)  # [S, B]
