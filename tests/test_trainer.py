@@ -650,6 +650,7 @@ def test_sort_batch_by_image_is_training_invariant(tiny_config, tmp_path,
                                      # sharded needs batch % (8*n_dev)==0
                                      "train.batch_size":
                                          64 if store_sharded else 32,
+                                     "train.device_data_cache": True,
                                      "train.store_sharded": store_sharded})
     d = base.data
     rng = np.random.default_rng(7)
@@ -876,7 +877,16 @@ def test_store_sharded_matches_replicated(tiny_config, tmp_path,
     sa = tr_a.init_state(next(ds_a.batches(1, epochs=1, shuffle=False)))
     data, _, _ = tr_a._prepare_resident(ds_a)
     assert tr_a._resident_shard == (8, 2)  # ceil(12/8) rows per device
-    assert data["grid_pad"].shape[0] == 16  # padded to rps * n
+    # host array stays unpermuted/unpadded (dataset row order); the
+    # per-device assembly happens at upload (_upload_resident)
+    assert data["grid_pad"].shape[0] == 12
+    up = tr_a._upload_resident(data)
+    assert up["grid_pad"].shape[0] == 16  # rps * n on device
+    # device d's block holds rows [d, d+8, ...]: spot-check row 9 lands
+    # at global position owner(9)*rps + 9//8 = 1*2 + 1 = 3
+    np.testing.assert_allclose(
+        np.asarray(up["grid_pad"])[3], np.asarray(data["grid_pad"])[9],
+        rtol=0, atol=0)
     assert tr_a.spec.module.store_sharded
     from jax.sharding import PartitionSpec as P
 

@@ -180,9 +180,10 @@ class TrainConfig:
     store_quantize: str = ""
     # With resident_fused_attention on a >1-device data axis: partition
     # the resident feature store's ROW axis over the data axis instead of
-    # replicating it — each device holds M/n contiguous image rows and
-    # trains on the questions whose image it owns (per-shard seeded
-    # sampling; standard pre-sharded data-parallel semantics). This is
+    # replicating it — rows assign ROUND-ROBIN (device d owns rows with
+    # row % n_devices == d, ~M/n each) and each device trains on the
+    # questions whose image it owns (per-shard seeded sampling; standard
+    # pre-sharded data-parallel semantics). This is
     # the HBM-capacity mode: the aggregate store can be ~n_devices times
     # one chip's HBM (the real VQA v2 grid store, ~66 GB bf16, fits a
     # v5e-8 at 8.3 GB/chip). Math per step is identical to the replicated

@@ -47,8 +47,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def put_sharded(tree: Any, sharding: NamedSharding) -> Any:
+def put_sharded(tree: Any, sharding: Any) -> Any:
     """Host arrays -> global device arrays under ``sharding``.
+
+    ``sharding`` may be ONE ``NamedSharding`` for the whole tree, or a
+    matching pytree(-prefix) of shardings (the resident paths pass a dict
+    with a row-sharded ``grid_pad`` and replicated everything else).
 
     Single-process: plain ``device_put``. Multi-process (a real multi-host
     slice): the sharding spans non-addressable devices, so ``device_put``
@@ -62,9 +66,13 @@ def put_sharded(tree: Any, sharding: NamedSharding) -> Any:
     """
     if jax.process_count() == 1:
         return jax.device_put(tree, sharding)
+    if isinstance(sharding, jax.sharding.Sharding):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(
-            sharding, np.asarray(x)), tree)
+        lambda x, s: jax.make_array_from_process_local_data(
+            s, np.asarray(x)), tree, sharding)
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:

@@ -80,6 +80,16 @@ def sharded_index_batches(owner: np.ndarray, n_shards: int,
             f"store_sharded: store shard(s) {empty} own no dataset rows — "
             "every shard needs at least one question (rebalance the store "
             "or reduce the data-axis size)")
+    smallest = min(l.size for l in lists)
+    if smallest < per_shard:
+        # The replicated sampler raises on size < batch_size; here a
+        # too-small SHARD still trains, but its questions repeat within
+        # every single batch — call that out loudly (real VQA shards own
+        # thousands of questions; this fires on toy/skewed corpora).
+        log.warning(
+            "store_sharded: smallest shard owns %d questions < per-shard "
+            "batch %d — its questions are ~%.1fx oversampled every step",
+            smallest, per_shard, per_shard / smallest)
     rngs = [np.random.default_rng(
         np.random.SeedSequence([seed, 0x5A7D, d])) for d in range(n_shards)]
     pools = [rng.permutation(l) for rng, l in zip(rngs, lists)]
@@ -172,6 +182,13 @@ class Trainer:
             raise ValueError(
                 f"global batch_size={cfg.train.batch_size} must be divisible "
                 f"by the data-axis size {n_data} of {self.mesh}")
+        if cfg.train.store_sharded and not cfg.train.device_data_cache:
+            # Loud by contract (config.py): the flag exists to NOT hold
+            # the full store per device; a run the user believes is
+            # sharded must never silently proceed unsharded.
+            raise ValueError(
+                "train.store_sharded needs train.device_data_cache — the "
+                "feature store only exists device-resident")
         module_updates: Dict[str, Any] = {}
         if n_data > 1 and getattr(spec.module, "data_mesh", "no") is None:
             # Multi-device data axis: hand the model the mesh so the
@@ -571,7 +588,7 @@ class Trainer:
                  (f" (store row-sharded {shard_info[0]}-way)"
                   if shard_info else ""))
         data_shardings = self._resident_shardings(data)
-        dev_arrays = put_sharded(data, data_shardings)
+        dev_arrays = self._upload_resident(data)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         raw_step = self._raw_step_fn
@@ -964,22 +981,19 @@ class Trainer:
                     # size, and no empty tail shard (a contiguous split
                     # of a padded row axis strands the padding — and any
                     # trailing question-less images — on the last
-                    # shards). The upload is permuted so device d's
-                    # contiguous P(data) block holds its rows
-                    # [d, d+n, d+2n, ...]; the op's shard_map takes
-                    # P(data) for the store, make_batch remaps global
-                    # rows to shard-local ones, and the samplers route
-                    # each question to its image's owner device
+                    # shards). ``grid_pad`` stays in dataset row order
+                    # host-side; _upload_resident assembles each device's
+                    # contiguous block from the zero-copy strided view
+                    # grid_pad[d::n] at upload (a host-side permuted copy
+                    # would double peak host RAM at exactly the store
+                    # sizes this flag exists for). The op's shard_map
+                    # takes P(data) for the store, make_batch remaps
+                    # global rows to shard-local ones, and the samplers
+                    # route each question to its image's owner device
                     # (sharded_index_batches / the evaluator's per-shard
                     # epochs).
-                    M_rows = grid_pad.shape[0]
-                    rps = -(-M_rows // n_data)
-                    perm = np.zeros((rps * n_data,) + grid_pad.shape[1:],
-                                    grid_pad.dtype)
-                    src = np.arange(M_rows)
-                    perm[(src % n_data) * rps + src // n_data] = grid_pad
-                    grid_pad = perm
-                    self._resident_shard = (n_data, rps)
+                    self._resident_shard = (
+                        n_data, -(-grid_pad.shape[0] // n_data))
                 data["grid_pad"] = grid_pad
                 if getattr(self.spec.module, "store_sharded", None) \
                         is not None:
@@ -995,6 +1009,11 @@ class Trainer:
         else:
             n_planes = 0
             fused_att = False
+            if self.cfg.train.store_sharded:
+                raise ValueError(
+                    "train.store_sharded needs a JoinedDataset "
+                    "(deduplicated feature store) — this dataset has no "
+                    "store to shard")
 
         # Captured as a LOCAL: make_batch can be re-traced lazily (e.g.
         # the tail-k train dispatch) after a later _prepare_resident call
@@ -1055,7 +1074,7 @@ class Trainer:
         log.info("device-resident eval split: %d rows, %.2f GB uploaded "
                  "once%s", ds.size, nbytes / 1e9,
                  f" (store row-sharded {shard[0]}-way)" if shard else "")
-        dev_arrays = put_sharded(data, self._resident_shardings(data))
+        dev_arrays = self._upload_resident(data)
         bshard = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
         spec = self.spec
         B = self.cfg.train.batch_size
@@ -1177,6 +1196,38 @@ class Trainer:
             shards["grid_pad"] = NamedSharding(
                 self.mesh, P(self.mesh.axis_names[0]))
         return shards
+
+    def _upload_resident(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        """One-time upload of a resident data tree. A row-sharded store
+        (train.store_sharded) is assembled per device from the zero-copy
+        strided view ``grid_pad[d::n]`` (host rows stay in dataset order;
+        device d's contiguous block holds rows d, d+n, d+2n, ...) — peak
+        extra host RAM is ONE shard's pad, not a permuted copy of the
+        whole store. Everything else ships through ``put_sharded``."""
+        shardings = self._resident_shardings(data)
+        shard = self._resident_shard
+        if shard is None or "grid_pad" not in data:
+            return put_sharded(data, shardings)
+        n_sh, rps = shard
+        host = {k: v for k, v in data.items() if k != "grid_pad"}
+        out = put_sharded(host, {k: shardings[k] for k in host})
+        grid = data["grid_pad"]
+        sh = shardings["grid_pad"]
+        global_shape = (rps * n_sh,) + grid.shape[1:]
+        arrs = []
+        for dev, idx in sh.devices_indices_map(global_shape).items():
+            d = (idx[0].start or 0) // rps
+            block = grid[d::n_sh]
+            pad = rps - block.shape[0]
+            if pad:  # tail shards of a non-divisible store: zero rows
+                block = np.concatenate(
+                    [block, np.zeros((pad,) + grid.shape[1:], grid.dtype)])
+            else:
+                block = np.ascontiguousarray(block)
+            arrs.append(jax.device_put(block, dev))
+        out["grid_pad"] = jax.make_array_from_single_device_arrays(
+            global_shape, sh, arrs)
+        return out
 
     def _cast_features_host(self, arrays: Dict[str, np.ndarray]
                             ) -> Dict[str, np.ndarray]:
