@@ -375,6 +375,12 @@ def main() -> None:
         # v-read HBM traffic, quantization-noise numerics). Default ""
         # keeps the headline number exact-math.
         "train.store_quantize": os.environ.get("BENCH_QUANT", ""),
+        # BENCH_STORE_SHARDED=1 benches the row-sharded store (the
+        # HBM-capacity mode; identical compute on one chip, P(data)
+        # store + per-shard sampling on a multi-chip mesh). Default off:
+        # the headline is the replicated-store path.
+        "train.store_sharded":
+            bool(os.environ.get("BENCH_STORE_SHARDED")),
     }
     if os.environ.get("BENCH_PROFILE"):
         overrides["train.profile_start"] = window  # skip the compile window
