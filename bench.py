@@ -378,9 +378,12 @@ def main() -> None:
         # BENCH_STORE_SHARDED=1 benches the row-sharded store (the
         # HBM-capacity mode; identical compute on one chip, P(data)
         # store + per-shard sampling on a multi-chip mesh). Default off:
-        # the headline is the replicated-store path.
+        # the headline is the replicated-store path. '0'/'false' read as
+        # off (a bare bool() would mislabel a `=0` run as replicated —
+        # the A/B corruption store_quantize guards against).
         "train.store_sharded":
-            bool(os.environ.get("BENCH_STORE_SHARDED")),
+            os.environ.get("BENCH_STORE_SHARDED", "").lower()
+            not in ("", "0", "false"),
     }
     if os.environ.get("BENCH_PROFILE"):
         overrides["train.profile_start"] = window  # skip the compile window

@@ -1035,3 +1035,47 @@ def test_store_sharded_int8_on_tp_mesh(tiny_config, tmp_path,
     for k in mb:
         np.testing.assert_allclose(ma[k], mb[k], rtol=1e-5, atol=1e-6,
                                    err_msg=k)
+
+
+def test_store_sharded_inloop_eval_on_storeless_split(tiny_config, tmp_path,
+                                                      eight_cpu_devices):
+    """A sharded TRAINING run whose in-loop eval split has no feature
+    store (plain ArrayDataset) must warn and evaluate, not abort
+    mid-flight at the first eval boundary."""
+    from vqa_transfer_externaldata_tpu.data.datasets import load_dataset
+    from vqa_transfer_externaldata_tpu.data.features import (
+        FeatureStore, JoinedDataset)
+
+    cfg = tiny_config.replace_flat({
+        "model.model": "vqa_attention", "model.dropout": 0.0,
+        "model.dtype": "float32", "train.batch_size": 64,
+        "train.device_data_cache": True, "train.store_sharded": True,
+        "train.eval_every": 2, "train.log_every": 2})
+    d = cfg.data
+    rng = np.random.default_rng(2)
+    M, n = 8, 128
+    store_path = str(tmp_path / "store.npz")
+    np.savez(store_path,
+             grid=rng.normal(size=(M, d.grid_h, d.grid_w, d.feature_dim))
+             .astype(np.float16),
+             pool5=rng.normal(size=(M, d.pool5_dim)).astype(np.float32),
+             image_ids=np.arange(M, dtype=np.int64))
+    train_ds = JoinedDataset(
+        {"q_ids": rng.integers(4, d.vocab_size, size=(n, d.max_question_len))
+         .astype(np.int32),
+         "answer_id": rng.integers(4, d.num_answers, size=n).astype(np.int32),
+         "image_index": rng.integers(0, M, size=n).astype(np.int32)},
+        FeatureStore(store_path), index_key="image_index",
+        feature_keys=("features", "pool5"))
+    eval_ds = load_dataset(cfg, "val", stage="vqa")  # storeless synthetic
+    tr = Trainer(cfg, build_model(cfg), train_dir=str(tmp_path / "t"))
+    s = tr.init_state(next(train_ds.batches(1, epochs=1, shuffle=False)))
+    s = tr.fit_resident(train_ds, s, max_steps=4, eval_ds=eval_ds)
+    assert int(jax.device_get(s.step)) == 4
+    # the eval boundary wrote val metrics (run did not abort)
+    import json as _json
+
+    with open(str(tmp_path / "t" / "metrics.jsonl")) as fh:
+        recs = [_json.loads(line) for line in fh]
+    assert any("val/loss" in r for r in recs)
+    tr.close()

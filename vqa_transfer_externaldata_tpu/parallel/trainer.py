@@ -862,7 +862,6 @@ class Trainer:
         # read by fit_resident / _make_resident_evaluator for the upload
         # sharding, the per-shard sampler, and the eval epoch layout.
         self._resident_shard = None
-        rps = 0
         index_key, feature_keys = "", ()
         if joined:
             index_key, feature_keys = ds.index_key, ds.feature_keys
@@ -1010,10 +1009,15 @@ class Trainer:
             n_planes = 0
             fused_att = False
             if self.cfg.train.store_sharded:
-                raise ValueError(
-                    "train.store_sharded needs a JoinedDataset "
-                    "(deduplicated feature store) — this dataset has no "
-                    "store to shard")
+                # No store, nothing to shard, nothing that can OOM — a
+                # warning, not a raise: an in-loop eval over a storeless
+                # split must not abort a sharded TRAINING run mid-flight
+                # (the real forgot-the-flag footgun is caught at Trainer
+                # init: store_sharded without device_data_cache raises).
+                log.warning(
+                    "train.store_sharded has no effect on %s: no feature "
+                    "store to shard (JoinedDataset required)",
+                    type(ds).__name__)
 
         # Captured as a LOCAL: make_batch can be re-traced lazily (e.g.
         # the tail-k train dispatch) after a later _prepare_resident call
@@ -1097,8 +1101,10 @@ class Trainer:
             # consuming ITS question list in order, padded (mask 0) to
             # the longest shard's batch count. ``positions`` maps every
             # (batch, slot) back to the original row for the pred
-            # scatter; padded slots reuse row 0 (any global row is a
-            # valid LOCAL store index after the % remap) and are masked.
+            # scatter; padded slots reuse question row 0 — safe because
+            # the LOCAL remap is ``row // n_sh`` and any global row
+            # satisfies row // n_sh <= rps - 1, so the slot reads an
+            # in-bounds (possibly wrong-image, fully masked) store row.
             n_sh, _ = shard
             per_dev = B // n_sh
             owner = np.asarray(ds.arrays[ds.index_key]) % n_sh
@@ -1215,16 +1221,23 @@ class Trainer:
         sh = shardings["grid_pad"]
         global_shape = (rps * n_sh,) + grid.shape[1:]
         arrs = []
+        blocks: Dict[int, np.ndarray] = {}  # one host copy per DATA shard
         for dev, idx in sh.devices_indices_map(global_shape).items():
             d = (idx[0].start or 0) // rps
-            block = grid[d::n_sh]
-            pad = rps - block.shape[0]
-            if pad:  # tail shards of a non-divisible store: zero rows
-                block = np.concatenate(
-                    [block, np.zeros((pad,) + grid.shape[1:], grid.dtype)])
-            else:
-                block = np.ascontiguousarray(block)
-            arrs.append(jax.device_put(block, dev))
+            if d not in blocks:
+                block = grid[d::n_sh]
+                pad = rps - block.shape[0]
+                if pad:  # tail shards of a non-divisible store: zeros
+                    block = np.concatenate(
+                        [block,
+                         np.zeros((pad,) + grid.shape[1:], grid.dtype)])
+                else:
+                    block = np.ascontiguousarray(block)
+                blocks[d] = block
+            # A dp x tp mesh replicates each row shard across the model
+            # axis: reuse the staged host block for every replica device
+            # instead of re-materializing a multi-GB copy per device.
+            arrs.append(jax.device_put(blocks[d], dev))
         out["grid_pad"] = jax.make_array_from_single_device_arrays(
             global_shape, sh, arrs)
         return out
