@@ -587,6 +587,16 @@ class Trainer:
                  nbytes / 1e9,
                  (f" (store row-sharded {shard_info[0]}-way)"
                   if shard_info else ""))
+        n_data = self.mesh.shape[self.mesh.axis_names[0]]
+        if (shard_info is None and store_rows and n_data > 1
+                and nbytes > 8e9):
+            # A v5e chip has ~16 GB HBM; a replicated multi-GB store
+            # leaves little for activations — and it need not be
+            # replicated on a >1-device data axis.
+            log.warning(
+                "replicating a %.1f GB store on each of %d devices — "
+                "--train.store_sharded splits it to %.1f GB/device",
+                nbytes / 1e9, n_data, nbytes / 1e9 / n_data)
         data_shardings = self._resident_shardings(data)
         dev_arrays = self._upload_resident(data)
         from jax.sharding import NamedSharding, PartitionSpec as P
