@@ -1079,3 +1079,43 @@ def test_store_sharded_inloop_eval_on_storeless_split(tiny_config, tmp_path,
         recs = [_json.loads(line) for line in fh]
     assert any("val/loss" in r for r in recs)
     tr.close()
+
+
+def test_store_sharded_multiprocess_upload(tiny_config, tmp_path,
+                                           eight_cpu_devices, monkeypatch):
+    """_upload_resident's multi-host contract: with process_count forced
+    to 2 (the established put_sharded-assembly test pattern — single
+    process means local == global, every device addressable), the
+    sharded-store upload must still assemble the identical global array
+    via make_array_from_single_device_arrays, and training must run."""
+    from vqa_transfer_externaldata_tpu.data.features import (
+        FeatureStore, JoinedDataset)
+    from vqa_transfer_externaldata_tpu.parallel import mesh as mesh_mod
+
+    cfg = tiny_config.replace_flat({
+        "model.model": "vqa_attention", "model.dropout": 0.0,
+        "model.dtype": "float32", "train.batch_size": 64,
+        "train.device_data_cache": True, "train.store_sharded": True})
+    d = cfg.data
+    rng = np.random.default_rng(4)
+    M, n = 16, 128
+    store_path = str(tmp_path / "store.npz")
+    np.savez(store_path,
+             grid=rng.normal(size=(M, d.grid_h, d.grid_w, d.feature_dim))
+             .astype(np.float16),
+             pool5=rng.normal(size=(M, d.pool5_dim)).astype(np.float32),
+             image_ids=np.arange(M, dtype=np.int64))
+    ds = JoinedDataset(
+        {"q_ids": rng.integers(4, d.vocab_size, size=(n, d.max_question_len))
+         .astype(np.int32),
+         "answer_id": rng.integers(4, d.num_answers, size=n).astype(np.int32),
+         "image_index": rng.integers(0, M, size=n).astype(np.int32)},
+        FeatureStore(store_path), index_key="image_index",
+        feature_keys=("features", "pool5"))
+    tr = Trainer(cfg, build_model(cfg), train_dir=str(tmp_path / "t"))
+    data, _, _ = tr._prepare_resident(ds)
+    want = np.asarray(jax.device_get(tr._upload_resident(data)["grid_pad"]))
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    got = tr._upload_resident(data)["grid_pad"]
+    np.testing.assert_array_equal(np.asarray(jax.device_get(got)), want)
+    tr.close()

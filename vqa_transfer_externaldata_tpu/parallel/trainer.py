@@ -932,11 +932,6 @@ class Trainer:
                     "attention path (single-glimpse vqa_attention, "
                     "resident_fused_attention on, batch % (8 * data-axis "
                     "devices) == 0, feature_dim % 128 == 0 on TPU)")
-            if self.cfg.train.store_sharded and jax.process_count() > 1:
-                raise ValueError(
-                    "train.store_sharded is single-process for now: "
-                    "multi-host staging of per-process store shards is "
-                    "not implemented")
             n_planes = 0
             if fused_att:
                 # Gather-free mode: ONE padded store; the attention
@@ -1232,7 +1227,16 @@ class Trainer:
         global_shape = (rps * n_sh,) + grid.shape[1:]
         arrs = []
         blocks: Dict[int, np.ndarray] = {}  # one host copy per DATA shard
+        pi = jax.process_index()
         for dev, idx in sh.devices_indices_map(global_shape).items():
+            if dev.process_index != pi:
+                # Multi-host: each process stages only its own devices'
+                # blocks; make_array_from_single_device_arrays assembles
+                # the global array from every process's contribution.
+                # (_prepare_resident's host-side prep still reads the
+                # whole store per process — mmap-friendly, but the
+                # prenormalize/quantize passes materialize it.)
+                continue
             d = (idx[0].start or 0) // rps
             if d not in blocks:
                 block = grid[d::n_sh]
