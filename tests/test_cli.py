@@ -237,3 +237,23 @@ def test_end2end_grain_pipeline_exact_resume(tmp_path):
             np.asarray(a), np.asarray(b),
             err_msg=f"{jax.tree_util.keystr(k)}: mid-epoch resume drifted "
                     f"off the uninterrupted data stream")
+
+
+def test_joined_synthetic_layout_cli(tmp_path):
+    """--data.synthetic_layout joined drives the PRODUCTION corpus layout
+    (deduplicated store + image_index join) from the CLI: resident
+    training takes the gather-free fused path and eval matches the
+    streaming evaluator."""
+    d = train_cli.main(TINY + [
+        "--model.model", "vqa_attention",
+        "--data.synthetic_layout", "joined",
+        "--train.device_data_cache", "true",
+        "--train.train_dir", str(tmp_path / "run")])
+    assert os.path.exists(os.path.join(d, "params_final"))
+    with open(os.path.join(d, "config.json")) as fh:
+        assert json.load(fh)["data"]["synthetic_layout"] == "joined"
+    m_res = eval_cli.main(["--train.train_dir", d])
+    m_stream = eval_cli.main(["--train.train_dir", d,
+                              "--train.device_data_cache", "false"])
+    for k in m_stream:
+        assert abs(m_res[k] - m_stream[k]) < 1e-3, (k, m_res, m_stream)

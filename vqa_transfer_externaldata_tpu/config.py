@@ -62,6 +62,13 @@ class DataConfig:
     # Synthetic-data mode (tests / benchmarking without the real corpora).
     synthetic: bool = False
     synthetic_size: int = 1024
+    # Synthetic stage-2 corpus layout: "flat" = per-question feature
+    # copies (simple; exercises the gathered paths), "joined" = the
+    # PRODUCTION layout (deduplicated f16 feature store + question table
+    # joined by image_index, ~8 questions/image) — the shape the 93k
+    # q/s/chip headline bench trains, reachable from the CLI with
+    # --data.synthetic_layout joined --train.device_data_cache true.
+    synthetic_layout: str = "flat"
 
 
 @dataclass

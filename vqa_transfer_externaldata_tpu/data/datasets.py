@@ -453,6 +453,19 @@ def load_dataset(cfg: Config, split: str, stage: str = "vqa",
             return synthetic_vlmap(cfg, seed=seed, **synth_kw)
         if stage == "vlmap_desc":
             return synthetic_vlmap_desc(cfg, seed=seed, **synth_kw)
+        layout = cfg.data.synthetic_layout
+        if layout == "joined":
+            # Production layout (deduplicated store + image_index join):
+            # what the headline bench and the resident fused/sharded
+            # paths run against, reachable from the CLI.
+            n_q = synth_kw.pop("size", cfg.data.synthetic_size)
+            return synthetic_vqa_joined(
+                cfg, n_questions=n_q, n_images=max(1, n_q // 8),
+                seed=seed, **synth_kw)
+        if layout != "flat":
+            raise ValueError(
+                f"data.synthetic_layout={layout!r}: expected 'flat' or "
+                "'joined'")
         return synthetic_vqa(cfg, seed=seed,
                              with_scores=(split != "train"), **synth_kw)
     path = os.path.join(cfg.data.dataset_dir, f"{stage}_{split}.npz")
