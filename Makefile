@@ -30,5 +30,5 @@ dryrun:
 	$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 clean:
-	rm -rf vqa_transfer_externaldata_tpu/native/_build \
+	rm -rf vqa_transfer_externaldata_tpu/native/_build .pytest_jax_cache \
 	       .pytest_cache $(shell find . -name __pycache__ -type d)
