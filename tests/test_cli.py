@@ -255,5 +255,8 @@ def test_joined_synthetic_layout_cli(tmp_path):
     m_res = eval_cli.main(["--train.train_dir", d])
     m_stream = eval_cli.main(["--train.train_dir", d,
                               "--train.device_data_cache", "false"])
+    # joined val splits carry answer_scores like flat ones: the official
+    # metric must be present, not silently dropped
+    assert "vqa_accuracy" in m_res and "vqa_accuracy" in m_stream
     for k in m_stream:
         assert abs(m_res[k] - m_stream[k]) < 1e-3, (k, m_res, m_stream)

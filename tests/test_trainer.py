@@ -1087,7 +1087,14 @@ def test_store_sharded_multiprocess_upload(tiny_config, tmp_path,
     to 2 (the established put_sharded-assembly test pattern — single
     process means local == global, every device addressable), the
     sharded-store upload must still assemble the identical global array
-    via make_array_from_single_device_arrays, and training must run."""
+    via make_array_from_single_device_arrays.
+
+    Coverage limit (stated honestly): every fake CPU device reports
+    process_index 0, so the per-device skip branch
+    (`dev.process_index != pi`) never fires here — this test pins the
+    assembly API path and put_sharded's multi-process branch; the
+    partial-staging subset logic is exercisable only on real multi-host
+    hardware."""
     from vqa_transfer_externaldata_tpu.data.features import (
         FeatureStore, JoinedDataset)
     from vqa_transfer_externaldata_tpu.parallel import mesh as mesh_mod

@@ -252,7 +252,8 @@ def synthetic_vlmap_desc(cfg: Config, *, size: Optional[int] = None,
 
 
 def synthetic_vqa_joined(cfg: Config, *, n_questions: int = 4096,
-                         n_images: int = 512, seed: int = 0):
+                         n_images: int = 512, seed: int = 0,
+                         with_scores: bool = False):
     """Deduplicated synthetic corpus in the production layout: a feature
     store of ``n_images`` unique grids (f16, like extraction output) plus a
     question table referencing it by ``image_index`` — the shape the honest
@@ -266,13 +267,18 @@ def synthetic_vqa_joined(cfg: Config, *, n_questions: int = 4096,
         InMemoryFeatureStore, JoinedDataset)
 
     d = cfg.data
-    cache = _synth_cache_path("vqaj", cfg, n_questions, seed,
-                              extra=f"_m{n_images}")
+    # with_scores=False keeps the historical cache key so existing bench
+    # corpora (minutes to regenerate on this host) stay valid.
+    cache = _synth_cache_path(
+        "vqaj", cfg, n_questions, seed,
+        extra=f"_m{n_images}" + ("_ws1" if with_scores else ""))
     if os.path.isdir(cache):
         load = lambda name: np.load(os.path.join(cache, name + ".npy"),
                                     mmap_mode="r")
         store = InMemoryFeatureStore(load("grid"), load("pool5"))
-        rows = {k: load(k) for k in ("q_ids", "image_index", "answer_id")}
+        keys = ("q_ids", "image_index", "answer_id") + (
+            ("answer_scores",) if with_scores else ())
+        rows = {k: load(k) for k in keys}
         return JoinedDataset(rows, store, index_key="image_index",
                              feature_keys=("features", "pool5"))
     rng = np.random.default_rng(seed)
@@ -300,6 +306,13 @@ def synthetic_vqa_joined(cfg: Config, *, n_questions: int = 4096,
                   % (d.num_answers - 4))
     rows = {"q_ids": q_ids, "image_index": image_index,
             "answer_id": answer.astype(np.int32)}
+    if with_scores:
+        # One-hot official score vectors (same convention as
+        # synthetic_vqa): evaluate_split reports vqa_accuracy from them,
+        # so joined and flat val splits carry the same metric set.
+        scores = np.zeros((n_questions, d.num_answers), np.float32)
+        scores[np.arange(n_questions), answer] = 1.0
+        rows["answer_scores"] = scores
     arrays = dict(rows, grid=grid, pool5=pool5)
     if n_questions >= 256:
         tmp = cache + ".tmp"
@@ -449,23 +462,27 @@ def load_dataset(cfg: Config, split: str, stage: str = "vqa",
     """
     if cfg.data.synthetic:
         seed = {"train": 0, "val": 1, "test": 2}.get(split, 3)
+        layout = cfg.data.synthetic_layout
+        if layout not in ("flat", "joined"):
+            # Validate for EVERY stage, before any work: a typo must not
+            # surface only after stage-1 pretraining completes.
+            raise ValueError(
+                f"data.synthetic_layout={layout!r}: expected 'flat' or "
+                "'joined'")
         if stage == "vlmap":
             return synthetic_vlmap(cfg, seed=seed, **synth_kw)
         if stage == "vlmap_desc":
             return synthetic_vlmap_desc(cfg, seed=seed, **synth_kw)
-        layout = cfg.data.synthetic_layout
         if layout == "joined":
             # Production layout (deduplicated store + image_index join):
             # what the headline bench and the resident fused/sharded
-            # paths run against, reachable from the CLI.
-            n_q = synth_kw.pop("size", cfg.data.synthetic_size)
+            # paths run against, reachable from the CLI. Val/test splits
+            # carry answer_scores like the flat layout so cli.eval
+            # reports the same metric set (incl. vqa_accuracy).
+            n_q = synth_kw.pop("size", None) or cfg.data.synthetic_size
             return synthetic_vqa_joined(
                 cfg, n_questions=n_q, n_images=max(1, n_q // 8),
-                seed=seed, **synth_kw)
-        if layout != "flat":
-            raise ValueError(
-                f"data.synthetic_layout={layout!r}: expected 'flat' or "
-                "'joined'")
+                seed=seed, with_scores=(split != "train"), **synth_kw)
         return synthetic_vqa(cfg, seed=seed,
                              with_scores=(split != "train"), **synth_kw)
     path = os.path.join(cfg.data.dataset_dir, f"{stage}_{split}.npz")

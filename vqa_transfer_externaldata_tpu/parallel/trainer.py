@@ -588,15 +588,22 @@ class Trainer:
                  (f" (store row-sharded {shard_info[0]}-way)"
                   if shard_info else ""))
         n_data = self.mesh.shape[self.mesh.axis_names[0]]
-        if (shard_info is None and store_rows and n_data > 1
-                and nbytes > 8e9):
+        # Bytes of the grid store specifically: store_sharded splits only
+        # the grid planes/pad, not the row arrays or pool5 — the hint
+        # must state what the flag actually saves.
+        store_bytes = sum(v.nbytes for k, v in data.items()
+                          if k.startswith("grid")
+                          and isinstance(v, np.ndarray))
+        if (shard_info is None and store_bytes > 8e9 and n_data > 1):
             # A v5e chip has ~16 GB HBM; a replicated multi-GB store
             # leaves little for activations — and it need not be
             # replicated on a >1-device data axis.
             log.warning(
-                "replicating a %.1f GB store on each of %d devices — "
-                "--train.store_sharded splits it to %.1f GB/device",
-                nbytes / 1e9, n_data, nbytes / 1e9 / n_data)
+                "replicating a %.1f GB feature store on each of %d "
+                "devices — --train.store_sharded splits it to %.1f "
+                "GB/device (row arrays + pool5, %.1f GB, stay replicated)",
+                store_bytes / 1e9, n_data, store_bytes / 1e9 / n_data,
+                (nbytes - store_bytes) / 1e9)
         data_shardings = self._resident_shardings(data)
         dev_arrays = self._upload_resident(data)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1161,7 +1168,17 @@ class Trainer:
         def run(state: TrainState) -> Tuple[Dict[str, float], np.ndarray]:
             p, m = eval_step(state.params, state.extra_vars,
                              dev_idxs, dev_masks, dev_arrays)
-            p, m = jax.device_get((p, m))  # ONE fetch for the whole split
+            if jax.process_count() > 1:
+                # Multi-host: the preds are data-sharded across hosts, so
+                # a plain device_get would touch non-addressable shards.
+                # process_allgather replicates them to every host (the
+                # metrics are already replicated).
+                from jax.experimental import multihost_utils
+
+                p = multihost_utils.process_allgather(p)
+                m = jax.device_get(m)
+            else:
+                p, m = jax.device_get((p, m))  # ONE fetch for the split
             m = {k: np.asarray(v, np.float64) for k, v in m.items()}
             w = m.pop("weight", np.ones(len(starts)))
             total_w = max(float(w.sum()), 1e-9)
