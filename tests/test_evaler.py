@@ -99,3 +99,71 @@ def test_evaluate_split_oov_breakdown(tiny_config, tmp_path,
              + (1 - w) * metrics["vqa_accuracy_in_vocab_answers"])
     assert abs(mixed - metrics["vqa_accuracy"]) < 1e-6
     trainer.close()
+
+
+def test_label_less_split_predictions_only(tmp_path, eight_cpu_devices):
+    """Predictions-only evaluation of a split with NO answer_id column:
+    the evaluator must produce predictions + the official submission
+    JSON (no loss metrics) instead of crashing. (The preprocessing
+    tools' own test split carries an all-<unk> answer_id — weight 0,
+    metric-safe by masking — so this covers user-constructed /
+    serving-shaped tables that omit the column entirely.) Streaming and
+    resident paths, identical predictions."""
+    import json
+    import os
+
+    from vqa_transfer_externaldata_tpu.config import Config
+    from vqa_transfer_externaldata_tpu.data.datasets import ArrayDataset
+    from vqa_transfer_externaldata_tpu.models.zoo import build_model
+    from vqa_transfer_externaldata_tpu.parallel.evaler import evaluate_split
+    from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
+    from vqa_transfer_externaldata_tpu.utils.vocab import Vocab
+
+    cfg = Config().replace_flat({
+        "data.synthetic": True, "data.vocab_size": 64,
+        "data.num_answers": 16, "data.grid_h": 2, "data.grid_w": 2,
+        "data.feature_dim": 16, "data.pool5_dim": 16,
+        "data.max_question_len": 6,
+        "model.model": "vqa_attention", "model.word_dim": 8,
+        "model.rnn_dim": 8, "model.fusion_dim": 16, "model.att_hidden": 8,
+        "model.answer_dim": 8, "model.dtype": "float32",
+        "model.dropout": 0.0, "train.batch_size": 16,
+        "train.warmup_steps": 1})
+    rng = np.random.default_rng(0)
+    n = 40  # n % batch != 0: padded tail too
+    d = cfg.data
+    arrays = {
+        "q_ids": rng.integers(4, d.vocab_size, size=(n, d.max_question_len))
+        .astype(np.int32),
+        "features": rng.normal(size=(n, d.grid_h * d.grid_w, d.feature_dim))
+        .astype(np.float32),
+        "question_id": (1000 + np.arange(n)).astype(np.int64),
+    }
+    toks = (["<pad>", "<s>", "</s>", "<unk>"]
+            + [f"ans{i}" for i in range(d.num_answers - 4)])
+    answer_vocab = Vocab(toks, {t: i for i, t in enumerate(toks)})
+
+    tr = Trainer(cfg, build_model(cfg), train_dir=str(tmp_path / "t"))
+    state = tr.init_state({k: v[:1] for k, v in arrays.items()})
+
+    ds = ArrayDataset(dict(arrays))
+    out = str(tmp_path / "results_test.json")
+    m, preds = evaluate_split(tr, state, ds, answer_vocab=answer_vocab,
+                              results_path=out)
+    assert preds.shape == (n,)
+    assert "loss" not in m and "vqa_accuracy" not in m
+    with open(out) as fh:
+        results = json.load(fh)
+    assert len(results) == n
+    assert results[0]["question_id"] == 1000
+    assert results[0]["answer"] in answer_vocab.tokens
+
+    # resident path: identical predictions
+    cfg_r = cfg.replace_flat({"train.device_data_cache": True})
+    tr_r = Trainer(cfg_r, build_model(cfg_r), train_dir=str(tmp_path / "r"))
+    state_r = tr_r.init_state({k: v[:1] for k, v in arrays.items()})
+    state_r = state_r.replace(params=state.params)
+    m_r, preds_r = evaluate_split(tr_r, state_r, ArrayDataset(dict(arrays)))
+    np.testing.assert_array_equal(preds_r, preds)
+    tr.close()
+    tr_r.close()

@@ -431,8 +431,18 @@ class Trainer:
         def eval_fn(params, extra_vars, batch):
             outputs = spec.module.apply({"params": params, **extra_vars},
                                         *spec.inputs(batch), train=False)
-            _, metrics = spec.loss(outputs, batch)
             preds = jnp.argmax(outputs["logits"].astype(jnp.float32), -1)
+            if "answer_id" in batch:
+                _, metrics = spec.loss(outputs, batch)
+            else:
+                # Label-less split (VQA test-dev/test-std ship questions
+                # only): predictions for the official submission JSON,
+                # no loss metrics. Static python branch — jit traces per
+                # batch structure.
+                mask = batch.get("example_mask")
+                metrics = {"weight": (jnp.sum(mask) if mask is not None
+                                      else jnp.asarray(
+                                          float(preds.shape[0])))}
             return preds, metrics
 
         return jax.jit(
@@ -1144,9 +1154,12 @@ class Trainer:
                 outputs = spec.module.apply(
                     {"params": params, **extra_vars},
                     *spec.inputs(batch), train=False)
-                _, metrics = spec.loss(outputs, batch)
                 preds = jnp.argmax(outputs["logits"].astype(jnp.float32),
                                    -1)
+                if "answer_id" in batch:
+                    _, metrics = spec.loss(outputs, batch)
+                else:  # label-less split: predictions only (see eval_fn)
+                    metrics = {"weight": jnp.sum(mask)}
                 return 0, (preds, metrics)
 
             _, (preds, metrics) = jax.lax.scan(body, 0, (idxs, masks))
