@@ -167,3 +167,34 @@ def test_label_less_split_predictions_only(tmp_path, eight_cpu_devices):
     np.testing.assert_array_equal(preds_r, preds)
     tr.close()
     tr_r.close()
+
+
+def test_vlmap_eval_reports_loss_metrics(tmp_path, eight_cpu_devices):
+    """Stage-1 (vlmap) eval batches carry 'label', not 'answer_id': the
+    label-aware eval gate (ModelSpec.label_key) must still route them
+    through the loss — regression for the predictions-only branch
+    swallowing all stage-1 validation metrics."""
+    from vqa_transfer_externaldata_tpu.config import Config
+    from vqa_transfer_externaldata_tpu.data.datasets import load_dataset
+    from vqa_transfer_externaldata_tpu.models.zoo import build_model
+    from vqa_transfer_externaldata_tpu.parallel.evaler import padded_batches
+    from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
+
+    cfg = Config().replace_flat({
+        "data.synthetic": True, "data.synthetic_size": 64,
+        "data.vocab_size": 64, "data.pool5_dim": 16,
+        "model.model": "vlmap", "model.word_dim": 8, "model.task_dim": 4,
+        "model.num_tasks": 4, "model.num_candidates": 8,
+        "model.dtype": "float32", "model.dropout": 0.0,
+        "train.batch_size": 16, "train.warmup_steps": 1})
+    spec = build_model(cfg)
+    assert spec.label_key == "label"
+    ds = load_dataset(cfg, "val", stage=spec.stage)
+    tr = Trainer(cfg, spec, train_dir=str(tmp_path / "t"))
+    state = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    batches, _ = padded_batches(ds, cfg.train.batch_size)
+    m, _ = tr.evaluate(state, batches)
+    assert "loss" in m and "accuracy" in m and np.isfinite(m["loss"])
+    m_res, _ = tr.evaluate_resident(state, ds)
+    assert "loss" in m_res and np.isfinite(m_res["loss"])
+    tr.close()

@@ -33,6 +33,11 @@ class ModelSpec:
                    Tuple[jnp.ndarray, Dict]]
     # "vqa" (stage 2) or a stage-1 artifact prefix ("vlmap", "vlmap_desc")
     stage: str
+    # Batch column the loss reads as its target. Eval paths use it to
+    # decide between full metrics and the predictions-only pass (a split
+    # without this column — e.g. a user-built server-submission table —
+    # evaluates label-less instead of crashing in the loss).
+    label_key: str = "answer_id"
 
 
 def build_model(cfg: Config,
@@ -78,7 +83,7 @@ def build_model(cfg: Config,
             word_init=word_init)
         return ModelSpec(module,
                          lambda b: (b["feature"], b["task"], b["candidates"]),
-                         vlmap_loss, "vlmap")
+                         vlmap_loss, "vlmap", label_key="label")
     if name == "vlmap_description":
         module = VLMapDescriptionModel(
             vocab_size=d.vocab_size, num_tasks=m.num_tasks,
@@ -88,7 +93,7 @@ def build_model(cfg: Config,
         return ModelSpec(module,
                          lambda b: (b["feature"], b["desc_ids"], b["task"],
                                     b["candidates"]),
-                         vlmap_loss, "vlmap_desc")
+                         vlmap_loss, "vlmap_desc", label_key="label")
     if name == "vqa_end2end":
         # Raw-image path (BASELINE config 5): built lazily to keep the
         # ResNet import out of the common path.

@@ -58,6 +58,23 @@ def _next_multiple(step: int, every: int) -> int:
     return (step // every + 1) * every
 
 
+def _eval_metrics(spec, outputs, batch) -> Dict[str, Any]:
+    """Eval-step metrics: the spec's loss when the batch carries its
+    declared target column (``spec.label_key`` — "answer_id" for the VQA
+    family, "label" for vlmap), else the predictions-only pass (a split
+    without targets, e.g. a user-built server-submission table, must
+    evaluate instead of crashing in the loss). Static python branch —
+    jit traces per batch structure. Shared by the streaming eval step
+    and the resident evaluator so the gate cannot drift between them."""
+    if spec.label_key in batch:
+        _, metrics = spec.loss(outputs, batch)
+        return metrics
+    mask = batch.get("example_mask")
+    b = next(iter(batch.values())).shape[0]
+    return {"weight": (jnp.sum(mask) if mask is not None
+                       else jnp.asarray(float(b)))}
+
+
 def sharded_index_batches(owner: np.ndarray, n_shards: int,
                           per_shard: int, seed: int):
     """Seeded per-shard index sampler for ``train.store_sharded``.
@@ -432,17 +449,7 @@ class Trainer:
             outputs = spec.module.apply({"params": params, **extra_vars},
                                         *spec.inputs(batch), train=False)
             preds = jnp.argmax(outputs["logits"].astype(jnp.float32), -1)
-            if "answer_id" in batch:
-                _, metrics = spec.loss(outputs, batch)
-            else:
-                # Label-less split (VQA test-dev/test-std ship questions
-                # only): predictions for the official submission JSON,
-                # no loss metrics. Static python branch — jit traces per
-                # batch structure.
-                mask = batch.get("example_mask")
-                metrics = {"weight": (jnp.sum(mask) if mask is not None
-                                      else jnp.asarray(
-                                          float(preds.shape[0])))}
+            metrics = _eval_metrics(spec, outputs, batch)
             return preds, metrics
 
         return jax.jit(
@@ -604,7 +611,11 @@ class Trainer:
         store_bytes = sum(v.nbytes for k, v in data.items()
                           if k.startswith("grid")
                           and isinstance(v, np.ndarray))
-        if (shard_info is None and store_bytes > 8e9 and n_data > 1):
+        # Only recommend the flag where setting it would actually work:
+        # store_sharded requires the fused resident path (grid_pad), and
+        # its gate raises otherwise.
+        if (shard_info is None and "grid_pad" in data
+                and store_bytes > 8e9 and n_data > 1):
             # A v5e chip has ~16 GB HBM; a replicated multi-GB store
             # leaves little for activations — and it need not be
             # replicated on a >1-device data axis.
@@ -1156,10 +1167,7 @@ class Trainer:
                     *spec.inputs(batch), train=False)
                 preds = jnp.argmax(outputs["logits"].astype(jnp.float32),
                                    -1)
-                if "answer_id" in batch:
-                    _, metrics = spec.loss(outputs, batch)
-                else:  # label-less split: predictions only (see eval_fn)
-                    metrics = {"weight": jnp.sum(mask)}
+                metrics = _eval_metrics(spec, outputs, batch)
                 return 0, (preds, metrics)
 
             _, (preds, metrics) = jax.lax.scan(body, 0, (idxs, masks))
@@ -1321,7 +1329,15 @@ class Trainer:
             batch = self._cast_features_host(batch)
             batch = put_sharded(batch, self._bshard)
             p, m = self._eval_step(state.params, state.extra_vars, batch)
-            p, m = jax.device_get((p, m))  # one round trip, not 1+len(m)
+            if jax.process_count() > 1:
+                # Preds are data-sharded across hosts (same fetch hazard
+                # as the resident evaluator — see its run()).
+                from jax.experimental import multihost_utils
+
+                p = multihost_utils.process_allgather(p)
+                m = jax.device_get(m)
+            else:
+                p, m = jax.device_get((p, m))  # ONE round trip
             preds.append(np.asarray(p))
             m = {k: float(v) for k, v in m.items()}
             w = m.pop("weight", 1.0)
