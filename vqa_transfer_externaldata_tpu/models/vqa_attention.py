@@ -47,7 +47,7 @@ class VQAAttentionModel(nn.Module):
     dtype: Any = jnp.bfloat16
     use_pallas: bool = True
     normalize_v: bool = True
-    glimpses: int = 1  # >1: multi-glimpse variant (XLA attention path)
+    glimpses: int = 1  # >1: multi-glimpse (gathered XLA or resident path)
     rnn_variant: str = "cudnn"  # "tf": TF1-GRUCell-exact (fidelity)
     # True ONLY when the grid features need a gradient (end2end with an
     # unfrozen backbone). False (feature-store training, frozen backbone)
@@ -114,14 +114,31 @@ class VQAAttentionModel(nn.Module):
         wv = self.param("att_wv", nn.initializers.glorot_uniform(),
                         (C, self.att_hidden), jnp.float32)
         if self.glimpses > 1:
-            assert not resident, "multi-glimpse needs gathered features"
-            from vqa_transfer_externaldata_tpu.ops.attention import (
-                spatial_attention_multi)
-
             ws_g = self.param("att_ws", nn.initializers.normal(0.05),
                               (self.att_hidden, self.glimpses), jnp.float32)
-            vn = l2_normalize(v) if self.normalize_v else v
-            v_att, alpha = spatial_attention_multi(vn, qh, wv, ws_g)
+            if resident:
+                # G-glimpse gather-free path: same resident op, 2-D
+                # w_score (ops/attention_resident G-glimpse kernels).
+                from vqa_transfer_externaldata_tpu.ops.attention_resident \
+                    import spatial_attention_resident
+
+                quant = jnp.issubdtype(store.dtype, jnp.integer)
+                v_att, alpha = spatial_attention_resident(
+                    store if quant else store.astype(dt),
+                    feat_rows, qh, wv, ws_g,
+                    n_valid=self.n_cells or store.shape[1],
+                    normalize=(self.normalize_v
+                               and not self.store_prenormalized
+                               and not quant),
+                    store_scale=self.store_scale if quant else 1.0,
+                    mesh=self.data_mesh, data_axis=self.data_axis_name,
+                    store_sharded=self.store_sharded)
+            else:
+                from vqa_transfer_externaldata_tpu.ops.attention import (
+                    spatial_attention_multi)
+
+                vn = l2_normalize(v) if self.normalize_v else v
+                v_att, alpha = spatial_attention_multi(vn, qh, wv, ws_g)
         else:
             ws = self.param("att_ws", nn.initializers.normal(0.05),
                             (self.att_hidden,), jnp.float32)

@@ -934,9 +934,7 @@ class Trainer:
             # On a >1-device data axis the op runs under shard_map, so the
             # PER-DEVICE batch must hit the kernel's 8-question window.
             n_data = self.mesh.shape[self.mesh.axis_names[0]]
-            model_ok = bool(getattr(self.spec.module, "n_cells", None)
-                            and getattr(self.spec.module, "glimpses", 1)
-                            == 1)
+            model_ok = bool(getattr(self.spec.module, "n_cells", None))
             fused_att = (self.cfg.train.resident_fused_attention
                          and model_ok
                          and self.cfg.train.batch_size % (8 * n_data) == 0
@@ -948,7 +946,7 @@ class Trainer:
                 # warning — the user is leaving the fast path on the table.
                 (log.warning if model_ok else log.info)(
                     "resident_fused_attention unavailable "
-                    "(needs single-glimpse vqa_attention, batch %% "
+                    "(needs a spatial-attention model, batch %% "
                     "(8 * data-axis devices) == 0, feature_dim %% 128 == 0 "
                     "on TPU) — using the gathered resident path")
             if self.cfg.train.store_sharded and not fused_att:
@@ -957,7 +955,7 @@ class Trainer:
                 # exact workload the user set the flag for.
                 raise ValueError(
                     "train.store_sharded requires the fused resident "
-                    "attention path (single-glimpse vqa_attention, "
+                    "attention path (a spatial-attention model, "
                     "resident_fused_attention on, batch % (8 * data-axis "
                     "devices) == 0, feature_dim % 128 == 0 on TPU)")
             n_planes = 0
