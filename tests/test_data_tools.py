@@ -354,6 +354,24 @@ def test_candidate_resampler(tmp_path):
                                   next(it2)["candidates"])
 
 
+def test_candidate_resampler_rejects_unknown_task(tmp_path):
+    """A batch task with no candidate pool (stale/mismatched
+    vlmap_meta.json) must fail loudly — np.empty rows would otherwise
+    train on uninitialized garbage as negatives."""
+    from vqa_transfer_externaldata_tpu.data.datasets import ArrayDataset
+    from vqa_transfer_externaldata_tpu.data.visualgenome import (
+        CandidateResampler)
+
+    n = 16
+    base = ArrayDataset({
+        "task": np.full((n,), 7, np.int32),  # task 7 not in pools
+        "word": np.full((n,), 10, np.int32),
+        "feature": np.zeros((n, 4), np.float32)})
+    ds = CandidateResampler(base, {0: [10, 11, 12, 13]}, num_candidates=4)
+    with pytest.raises(ValueError, match="no candidate pool"):
+        next(ds.batches(8, seed=0, epochs=1, shuffle=False))
+
+
 def test_answer_holdout_oov_protocol(vqa_json, tmp_path):
     """Paper's OOV protocol: held-out answers become <unk> in training
     targets (masked from the loss) but keep their eval score rows."""

@@ -100,3 +100,29 @@ def test_synthetic_data_is_deterministic(tiny_config):
     c = synthetic_vlmap(tiny_config, seed=7)
     assert c.arrays["candidates"][
         np.arange(len(c)), c.arrays["label"]].min() >= 4
+
+
+def test_bidirectional_description_encoder(tiny_config):
+    """model.bidirectional_desc: the blank-fill variant's BiGRU encoder
+    (ops/gru.BiGRUEncoder) — forward shape, finite loss, and the backward
+    direction actually contributing (different output vs unidirectional)."""
+    outs = {}
+    for bidi in (False, True):
+        cfg = tiny_config.replace_flat({
+            "model.model": "vlmap_description",
+            "model.bidirectional_desc": bidi,
+            "model.dropout": 0.0, "model.dtype": "float32"})
+        spec = build_model(cfg)
+        ds = load_dataset(cfg, "train", stage=spec.stage)
+        batch = next(ds.batches(8, epochs=1, shuffle=False))
+        params = spec.module.init({"params": jax.random.PRNGKey(0)},
+                                  *spec.inputs(batch), train=False)
+        if bidi:
+            enc = params["params"]["desc_bigru"]
+            assert set(enc) == {"fwd", "bwd"}
+        out = spec.module.apply(params, *spec.inputs(batch), train=False)
+        assert out["logits"].shape == (8, cfg.model.num_candidates)
+        loss, _ = spec.loss(out, batch)
+        assert np.isfinite(float(loss))
+        outs[bidi] = np.asarray(out["logits"])
+    assert not np.allclose(outs[False], outs[True])

@@ -558,6 +558,115 @@ def test_resident_fused_attention_matches_gather(tiny_config, tmp_path,
                                    err_msg=k)
 
 
+def test_resident_fused_multi_glimpse_matches_gather(tiny_config, tmp_path,
+                                                     eight_cpu_devices):
+    """vqa_attention2 (glimpses=2) + device-resident data: the gather-free
+    G-glimpse kernels (ops/attention_resident multi variant) must train to
+    the same params as the gathered resident path and evaluate identically
+    — the trainer-level parity the G=1 path already pins
+    (test_resident_fused_attention_matches_gather)."""
+    from vqa_transfer_externaldata_tpu.data.features import (
+        FeatureStore, JoinedDataset)
+
+    base = tiny_config.replace_flat({"model.model": "vqa_attention2",
+                                     "model.dropout": 0.0,
+                                     "model.dtype": "float32",
+                                     "train.batch_size": 64})
+    d = base.data
+    rng = np.random.default_rng(5)
+    M, n = 16, 128
+    store_path = str(tmp_path / "store.npz")
+    np.savez(store_path,
+             grid=rng.normal(size=(M, d.grid_h, d.grid_w, d.feature_dim))
+             .astype(np.float16),
+             pool5=rng.normal(size=(M, d.pool5_dim)).astype(np.float32),
+             image_ids=np.arange(M, dtype=np.int64))
+    rows = {
+        "q_ids": rng.integers(4, d.vocab_size,
+                              size=(n, d.max_question_len)).astype(np.int32),
+        "answer_id": rng.integers(4, d.num_answers, size=n).astype(np.int32),
+        "image_index": rng.integers(0, M, size=n).astype(np.int32),
+    }
+
+    def joined():
+        return JoinedDataset(dict(rows), FeatureStore(store_path),
+                             index_key="image_index",
+                             feature_keys=("features", "pool5"))
+
+    results = {}
+    for fused in (False, True):
+        cfg = base.replace_flat(
+            {"train.resident_fused_attention": fused})
+        spec = build_model(cfg)
+        assert spec.module.glimpses == 2
+        ds = joined()
+        tr = Trainer(cfg, spec, train_dir=str(tmp_path / f"g2f{fused}"))
+        data, _, _ = tr._prepare_resident(ds)
+        # the fused mode must actually engage the multi kernels (no
+        # silent fallback — the regression the round-3 advisor flagged)
+        assert ("grid_pad" in data) == fused
+        s = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+        s = tr.fit_resident(ds, s, max_steps=6)
+        m, p = tr.evaluate_resident(s, joined())
+        results[fused] = (jax.device_get(s.params), m, p)
+        tr.close()
+
+    pa, ma, preda = results[False]
+    pb, mb, predb = results[True]
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(pa),
+                              jax.tree_util.tree_leaves_with_path(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(k))
+    assert (preda == predb).mean() > 0.95
+    for k in ma:
+        np.testing.assert_allclose(ma[k], mb[k], rtol=1e-3, atol=1e-3,
+                                   err_msg=k)
+
+
+def test_resident_fused_gate_falls_back_above_glimpse_limit(
+        tiny_config, tmp_path, eight_cpu_devices):
+    """glimpses > 8 exceeds the multi kernels' ws sublane window: the
+    trainer gate must fall back to the gathered resident path instead of
+    dying inside the kernel wrapper at the first fused step."""
+    from vqa_transfer_externaldata_tpu.data.features import (
+        FeatureStore, JoinedDataset)
+
+    cfg = tiny_config.replace_flat({"model.model": "vqa_attention",
+                                    "model.glimpses": 9,
+                                    "model.dtype": "float32",
+                                    "train.batch_size": 64,
+                                    "train.resident_fused_attention": True})
+    d = cfg.data
+    rng = np.random.default_rng(9)
+    M, n = 8, 64
+    store_path = str(tmp_path / "store.npz")
+    np.savez(store_path,
+             grid=rng.normal(size=(M, d.grid_h, d.grid_w, d.feature_dim))
+             .astype(np.float16),
+             pool5=rng.normal(size=(M, d.pool5_dim)).astype(np.float32),
+             image_ids=np.arange(M, dtype=np.int64))
+    rows = {
+        "q_ids": rng.integers(4, d.vocab_size,
+                              size=(n, d.max_question_len)).astype(np.int32),
+        "answer_id": rng.integers(4, d.num_answers, size=n).astype(np.int32),
+        "image_index": rng.integers(0, M, size=n).astype(np.int32),
+    }
+    ds = JoinedDataset(rows, FeatureStore(store_path),
+                       index_key="image_index",
+                       feature_keys=("features", "pool5"))
+    spec = build_model(cfg)
+    assert spec.module.glimpses == 9
+    tr = Trainer(cfg, spec, train_dir=str(tmp_path / "g9"))
+    data, _, _ = tr._prepare_resident(ds)
+    assert "grid_pad" not in data  # fell back to the gathered planes
+    # and the gathered path actually trains
+    s = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    s = tr.fit_resident(ds, s, max_steps=2)
+    assert int(jax.device_get(s.step)) == 2
+    tr.close()
+
+
 def test_int8_store_trains_and_evals_close_to_float(tiny_config, tmp_path,
                                                     eight_cpu_devices):
     """--train.store_quantize int8: the resident store uploads as int8

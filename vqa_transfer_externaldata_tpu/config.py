@@ -85,6 +85,10 @@ class ModelConfig:
     dtype: str = "bfloat16"  # compute dtype on TPU; params stay float32
     use_pallas: bool = True  # fused Pallas kernels for hot ops
     glimpses: int = 1  # attention glimpses (vqa_attention2 sets 2)
+    # vlmap_description only: bidirectional blanked-phrase encoder
+    # (ops/gru.BiGRUEncoder) — the blank's RIGHT context reaches the
+    # encoding directly instead of only through the forward recurrence.
+    bidirectional_desc: bool = False
     # "cudnn" (TPU-fused, default) or "tf" (TF1-GRUCell-exact gate math
     # for reference-checkpoint fidelity, ops/gru.TFGRUEncoder)
     rnn_variant: str = "cudnn"

@@ -285,14 +285,20 @@ def synthetic_vqa_joined(cfg: Config, *, n_questions: int = 4096,
     N = d.grid_h * d.grid_w
     pool5 = rng.standard_normal((n_images, d.pool5_dim), dtype=np.float32)
     # Low-rank grid expansion (see synthetic_vqa): full-size f16 grids
-    # without host-RNG-bound generation.
+    # without host-RNG-bound generation. Chunked over images so a
+    # multi-GB store (the realistic-scale bench, BENCH_STORE_GB) never
+    # materializes the full-size float32 intermediate — peak extra host
+    # RAM is one ~0.4 GB chunk, not 2x the store.
     rank = 32
-    thin = rng.standard_normal((n_images * N, rank), dtype=np.float32)
     mix = np.random.default_rng(99).standard_normal(
         (rank, d.feature_dim), dtype=np.float32) / np.float32(np.sqrt(rank))
-    grid = (thin @ mix).reshape(n_images, N, d.feature_dim)
-    grid += pool5[:, None, : d.feature_dim]
-    grid = grid.astype(np.float16)  # extraction stores f16
+    grid = np.empty((n_images, N, d.feature_dim), np.float16)
+    for lo in range(0, n_images, 256):
+        hi = min(lo + 256, n_images)
+        thin = rng.standard_normal(((hi - lo) * N, rank), dtype=np.float32)
+        chunk = (thin @ mix).reshape(hi - lo, N, d.feature_dim)
+        chunk += pool5[lo:hi, None, : d.feature_dim]
+        grid[lo:hi] = chunk  # extraction stores f16
 
     q_len = rng.integers(3, d.max_question_len + 1, size=n_questions)
     q_ids = np.zeros((n_questions, d.max_question_len), np.int32)

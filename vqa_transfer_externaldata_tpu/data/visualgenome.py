@@ -71,6 +71,16 @@ class CandidateResampler:
             np.random.SeedSequence([self.seed, 0xC0FFEE]))
         for batch in self.base.batches(batch_size, **kw):
             n = batch["word"].shape[0]
+            # Every task in the batch must have a pool: a stale or
+            # mismatched vlmap_meta.json would otherwise leave those rows'
+            # np.empty garbage as "negatives" and train on noise silently.
+            unknown = set(np.unique(batch["task"]).tolist()) \
+                - self.pools.keys()
+            if unknown:
+                raise ValueError(
+                    f"CandidateResampler: batch tasks {sorted(unknown)} "
+                    "have no candidate pool — task_words (vlmap_meta.json) "
+                    "does not match this dataset's task table")
             cands = np.empty((n, self.K), np.int32)
             for t, pool in self.pools.items():
                 sel = np.where(batch["task"] == t)[0]

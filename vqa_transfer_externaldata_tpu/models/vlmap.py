@@ -141,13 +141,19 @@ class VLMapDescriptionModel(nn.Module):
     dropout: float = 0.5
     dtype: Any = jnp.bfloat16
     use_pallas: bool = True
+    # Bidirectional phrase encoder (model.bidirectional_desc): blank fill
+    # is a two-sided-context task — the backward GRU hands the blank's
+    # right context to the encoding directly. Fwd state dim stays rnn_dim
+    # per direction (encoder output 2*rnn_dim feeds the fusion MLP).
+    bidirectional: bool = False
     word_init: Optional[np.ndarray] = None
 
     @nn.compact
     def __call__(self, feature: jnp.ndarray, desc_ids: jnp.ndarray,
                  task: jnp.ndarray, candidates: jnp.ndarray, *,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
-        from vqa_transfer_externaldata_tpu.ops.gru import GRUEncoder
+        from vqa_transfer_externaldata_tpu.ops.gru import (
+            BiGRUEncoder, GRUEncoder)
 
         dt = self.dtype
         if self.word_init is not None:
@@ -161,8 +167,13 @@ class VLMapDescriptionModel(nn.Module):
         # itself is <unk>, which stays visible to the GRU as context).
         words = jnp.take(word_emb, desc_ids, axis=0).astype(dt)
         mask = (desc_ids != PAD_ID).astype(jnp.float32)
-        d = GRUEncoder(self.rnn_dim, dtype=dt, use_pallas=self.use_pallas,
-                       name="desc_gru")(words, mask)
+        if self.bidirectional:
+            d = BiGRUEncoder(self.rnn_dim, dtype=dt,
+                             name="desc_bigru")(words, mask)
+        else:
+            d = GRUEncoder(self.rnn_dim, dtype=dt,
+                           use_pallas=self.use_pallas,
+                           name="desc_gru")(words, mask)
 
         task_table = self.param("task_embedding",
                                 nn.initializers.normal(0.02),

@@ -89,7 +89,8 @@ def build_model(cfg: Config,
             vocab_size=d.vocab_size, num_tasks=m.num_tasks,
             feature_dim=d.pool5_dim, word_dim=m.word_dim,
             rnn_dim=m.rnn_dim, task_dim=m.task_dim, dropout=m.dropout,
-            dtype=dt, use_pallas=m.use_pallas, word_init=word_init)
+            dtype=dt, use_pallas=m.use_pallas,
+            bidirectional=m.bidirectional_desc, word_init=word_init)
         return ModelSpec(module,
                          lambda b: (b["feature"], b["desc_ids"], b["task"],
                                     b["candidates"]),

@@ -935,19 +935,26 @@ class Trainer:
             # PER-DEVICE batch must hit the kernel's 8-question window.
             n_data = self.mesh.shape[self.mesh.axis_names[0]]
             model_ok = bool(getattr(self.spec.module, "n_cells", None))
+            # The G-glimpse kernels static-slice per-glimpse score rows out
+            # of one 8-sublane ws block (ops/attention_resident
+            # ._resident_fwd_multi) — validate HERE so glimpses > 8 falls
+            # back to the gathered path instead of dying at first fused
+            # step inside the kernel wrapper.
+            glimpses_ok = getattr(self.spec.module, "glimpses", 1) <= 8
             fused_att = (self.cfg.train.resident_fused_attention
-                         and model_ok
+                         and model_ok and glimpses_ok
                          and self.cfg.train.batch_size % (8 * n_data) == 0
                          and (not on_tpu or C2 % 128 == 0))
             if self.cfg.train.resident_fused_attention and not fused_att:
                 # Default-on since round 3: a model the op does not cover
-                # (multi-glimpse / no spatial grid) falls back silently-ish;
-                # a SHAPE gate failing on a covered model is worth a
-                # warning — the user is leaving the fast path on the table.
+                # (no spatial grid) falls back silently-ish; a SHAPE gate
+                # failing on a covered model is worth a warning — the user
+                # is leaving the fast path on the table.
                 (log.warning if model_ok else log.info)(
                     "resident_fused_attention unavailable "
-                    "(needs a spatial-attention model, batch %% "
-                    "(8 * data-axis devices) == 0, feature_dim %% 128 == 0 "
+                    "(needs a spatial-attention model with glimpses <= 8, "
+                    "batch %% (8 * data-axis devices) == 0, "
+                    "feature_dim %% 128 == 0 "
                     "on TPU) — using the gathered resident path")
             if self.cfg.train.store_sharded and not fused_att:
                 # The whole point of the flag is NOT holding the full
