@@ -517,3 +517,46 @@ def test_multi_glimpse_limit_asserts(multi_data):
             jnp.asarray(pad_store_rows(store)), jnp.asarray(rows),
             jnp.asarray(qh), jnp.asarray(wv), jnp.asarray(ws_big),
             n_valid=N, normalize=False, interpret=True)
+
+
+def test_prenormalize_store_matches_naive_sequence():
+    """The chunked one-pass prenormalize (+cast +pad +int8) must produce
+    exactly what the naive full-copy sequence produced: normalize in f32
+    (rsqrt(ssq+1e-12) convention), astype, pad_store_rows; and for int8,
+    quantize_store of the normalized f32 array."""
+    from vqa_transfer_externaldata_tpu.ops.attention_resident import (
+        prenormalize_store, quantize_store)
+    import ml_dtypes
+
+    rng = np.random.default_rng(31)
+    M, N, C = 7, 12, 64  # N%8 != 0: the pad matters
+    grid = (rng.normal(size=(M, N, C)) * 3).astype(np.float16)
+    g32 = np.asarray(grid, np.float32)
+    ssq = np.sum(np.square(g32), axis=-1, keepdims=True)
+    # multiply-by-reciprocal: the exact rounding the trainer's original
+    # in-place pass produced (g32 *= 1/sqrt(...))
+    g32n = g32 * (1.0 / np.sqrt(ssq + 1e-12))
+
+    # exact path, f16 -> bf16 cast fused in (chunked: force tiny chunks)
+    out, scale = prenormalize_store(grid, out_dtype=ml_dtypes.bfloat16,
+                                    chunk_bytes=N * C * 4 * 2)
+    assert scale == 1.0 and out.dtype == ml_dtypes.bfloat16
+    want = pad_store_rows(g32n.astype(ml_dtypes.bfloat16))
+    assert out.shape == want.shape
+    np.testing.assert_array_equal(
+        out.astype(np.float32), want.astype(np.float32))
+
+    # no-cast path keeps the source dtype
+    out2, _ = prenormalize_store(grid)
+    assert out2.dtype == np.float16
+    np.testing.assert_array_equal(out2, pad_store_rows(
+        g32n.astype(np.float16)))
+
+    # int8: identical codes and scale to quantize_store of the full
+    # normalized array, padded to the int8 sublane tile
+    q, s = prenormalize_store(grid, quantize="int8",
+                              chunk_bytes=N * C * 4 * 2)
+    q_want, s_want = quantize_store(g32n)
+    assert s == s_want
+    np.testing.assert_array_equal(q, pad_store_rows(q_want))
+    assert q.shape[1] % 32 == 0

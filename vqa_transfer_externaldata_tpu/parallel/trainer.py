@@ -908,18 +908,23 @@ class Trainer:
                 M, gh, gw, C = grid.shape
                 grid = grid.reshape(M, gh * gw, C)
             # f16-on-disk grids upload at half width and compute as the
-            # model dtype; pool5 casts like the streaming path.
+            # model dtype; pool5 casts like the streaming path. The
+            # f16->bf16 cast itself is DEFERRED into the branches below:
+            # the prenormalized fused path rewrites every value anyway
+            # (prenormalize_store casts while it writes — an up-front
+            # full-store astype was one of four full copies that cost
+            # ~95 s/GB of host prep at realistic store sizes).
             store = self._cast_features_host(
                 {"features": grid,
                  "pool5": np.asarray(ds.store.pool5, np.float32)})
+            target16 = None
             if store["features"].dtype == np.float16:
                 import ml_dtypes
 
                 from vqa_transfer_externaldata_tpu.ops.layers import dtype_of
 
                 if dtype_of(self.cfg.model.dtype) == jnp.bfloat16:
-                    store["features"] = store["features"].astype(
-                        ml_dtypes.bfloat16)
+                    target16 = ml_dtypes.bfloat16
             # The grid uploads PRE-SPLIT into <=1024-channel planes: XLA's
             # TPU gather lowering wants [M, N, <=1024] operands, and fed
             # the full [M, N, 2048] store it re-splits the WHOLE store
@@ -972,7 +977,7 @@ class Trainer:
                 # (ops/attention_resident) — no [B, N, C] batch, no
                 # gather, no layout copy.
                 from vqa_transfer_externaldata_tpu.ops.attention_resident \
-                    import pad_store_rows
+                    import pad_store_rows, prenormalize_store
 
                 quantize = self.cfg.train.store_quantize
                 if quantize not in ("", "int8"):
@@ -986,31 +991,29 @@ class Trainer:
                     # rsqrt(ssq + 1e-12) convention) so the fwd+bwd
                     # kernels skip the per-access sum-of-squares/rsqrt;
                     # the model passes normalize=False for this store.
-                    # np.array (not asarray): grid_c can alias
-                    # ds.store.grid when no dtype cast happened, and the
-                    # in-place scale below must not mutate the dataset.
-                    g32 = np.array(grid_c, np.float32)
-                    ssq = np.sum(np.square(g32), axis=-1, keepdims=True)
-                    g32 *= 1.0 / np.sqrt(ssq + 1e-12)
+                    # prenormalize_store fuses normalize + compute-dtype
+                    # cast + cell-axis pad (+ int8 quantize with its one
+                    # global scale) into one chunked read->write pass —
+                    # the source (often an mmapped f16 store) is read
+                    # once and never aliased or mutated.
+                    grid_pad, scale = prenormalize_store(
+                        grid_c, out_dtype=target16, quantize=quantize)
                     if quantize == "int8":
-                        # Symmetric int8 codes + one global scale: halves
-                        # the kernels' dominant HBM traffic; the scale
-                        # reaches the op as a static model attribute (the
-                        # step/eval closures are rebuilt if it changed).
-                        from vqa_transfer_externaldata_tpu.ops \
-                            .attention_resident import quantize_store
-
-                        grid_c, scale = quantize_store(g32)
+                        # The scale reaches the op as a static model
+                        # attribute (the step/eval closures are rebuilt
+                        # if it changed).
                         self._set_module_attrs(store_scale=scale)
-                    else:
-                        grid_c = g32.astype(grid_c.dtype)
-                elif quantize:
-                    log.warning(
-                        "train.store_quantize=%r needs the prenormalized "
-                        "fused resident path (normalize_v model + "
-                        "resident_fused_attention); keeping float store",
-                        quantize)
-                grid_pad = pad_store_rows(grid_c)
+                else:
+                    if quantize:
+                        log.warning(
+                            "train.store_quantize=%r needs the "
+                            "prenormalized fused resident path "
+                            "(normalize_v model + "
+                            "resident_fused_attention); keeping float "
+                            "store", quantize)
+                    if target16 is not None:
+                        grid_c = grid_c.astype(target16)
+                    grid_pad = pad_store_rows(grid_c)
                 if self.cfg.train.store_sharded:
                     # Row-sharded store (HBM-capacity mode): rows are
                     # assigned ROUND-ROBIN (owner = row % n, shard-local
@@ -1037,6 +1040,8 @@ class Trainer:
                     self._set_module_attrs(
                         store_sharded=self._resident_shard is not None)
             else:
+                if target16 is not None:  # gathered path: cast up front
+                    grid_c = grid_c.astype(target16)
                 n_planes = max(1, (C2 + 1023) // 1024)
                 width = (C2 + n_planes - 1) // n_planes
                 for p in range(n_planes):
@@ -1183,6 +1188,18 @@ class Trainer:
             in_shardings=(self._state_in_spec(), self._repl, bshard, bshard,
                           self._resident_shardings(data)),
             out_shardings=(bshard, self._repl))
+        # put_sharded's multi-process contract: each process passes only
+        # ITS devices' rows of a sharded array (parallel/mesh.py). The
+        # epoch is computed identically on every process, so each slices
+        # its contiguous column block — fit_resident's seg convention.
+        # Passing the full epoch handed make_array_from_process_local_data
+        # a doubled global array with wrong per-device slices (found by
+        # the real 2-process test, tests/test_multiprocess.py).
+        pi, pc = jax.process_index(), jax.process_count()
+        if pc > 1:
+            local = idxs.shape[1] // pc
+            idxs = idxs[:, pi * local:(pi + 1) * local]
+            masks = masks[:, pi * local:(pi + 1) * local]
         dev_idxs = put_sharded(idxs, bshard)
         dev_masks = put_sharded(masks, bshard)
 
@@ -1198,10 +1215,14 @@ class Trainer:
                 # Multi-host: the preds are data-sharded across hosts, so
                 # a plain device_get would touch non-addressable shards.
                 # process_allgather replicates them to every host (the
-                # metrics are already replicated).
+                # metrics are already replicated). tiled=True is REQUIRED
+                # for a global (non-fully-addressable) array input — it
+                # returns the array's full global value, not a per-process
+                # stack (found by the real 2-process test; the default
+                # raises ValueError).
                 from jax.experimental import multihost_utils
 
-                p = multihost_utils.process_allgather(p)
+                p = multihost_utils.process_allgather(p, tiled=True)
                 m = jax.device_get(m)
             else:
                 p, m = jax.device_get((p, m))  # ONE fetch for the split
@@ -1339,7 +1360,7 @@ class Trainer:
                 # as the resident evaluator — see its run()).
                 from jax.experimental import multihost_utils
 
-                p = multihost_utils.process_allgather(p)
+                p = multihost_utils.process_allgather(p, tiled=True)
                 m = jax.device_get(m)
             else:
                 p, m = jax.device_get((p, m))  # ONE round trip
