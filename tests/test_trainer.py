@@ -1235,3 +1235,42 @@ def test_store_sharded_multiprocess_upload(tiny_config, tmp_path,
     got = tr._upload_resident(data)["grid_pad"]
     np.testing.assert_array_equal(np.asarray(jax.device_get(got)), want)
     tr.close()
+
+
+def test_lagged_inloop_eval_matches_synchronous(tiny_config, tmp_path,
+                                                eight_cpu_devices):
+    """fit_resident DISPATCHES in-loop evals at their boundary but fetches
+    them one log window later (the lagged-eval overlap); the logged val
+    metrics must be EXACTLY what a synchronous evaluate_resident on that
+    boundary's params produces — lateness of arrival, never of value."""
+    import json
+
+    def make(train_dir):
+        cfg = tiny_config.replace_flat({
+            "model.model": "vqa_attention", "model.dropout": 0.0,
+            "train.device_data_cache": True,
+            "train.eval_every": 2, "train.log_every": 2})
+        train_ds = load_dataset(cfg, "train", stage="vqa")
+        eval_ds = load_dataset(cfg, "val", stage="vqa")
+        tr = Trainer(cfg, build_model(cfg), train_dir=str(train_dir))
+        s = tr.init_state(next(train_ds.batches(1, epochs=1,
+                                                shuffle=False)))
+        return tr, s, train_ds, eval_ds
+
+    tr, s, train_ds, eval_ds = make(tmp_path / "a")
+    tr.fit_resident(train_ds, s, max_steps=4, eval_ds=eval_ds)
+    tr.close()
+    with open(str(tmp_path / "a" / "metrics.jsonl")) as fh:
+        vals = {r["step"]: r for r in map(json.loads, fh)
+                if "val/loss" in r}
+    assert sorted(vals) == [2, 4]  # both boundaries landed, once each
+
+    for stop in (2, 4):
+        tr2, s2, train_ds2, eval_ds2 = make(tmp_path / f"b{stop}")
+        s2 = tr2.fit_resident(train_ds2, s2, max_steps=stop)
+        m, _ = tr2.evaluate_resident(s2, eval_ds2)
+        tr2.close()
+        for k, v in m.items():
+            np.testing.assert_allclose(
+                vals[stop][f"val/{k}"], v, rtol=1e-6,
+                err_msg=f"step {stop} metric {k}")

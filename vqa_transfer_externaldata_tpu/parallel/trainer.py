@@ -682,11 +682,33 @@ class Trainer:
         # lazily so short runs never pay the val-split upload.
         resident_eval_cache: list = []
 
-        def resident_eval(state):
+        def resident_eval_fn():
             if not resident_eval_cache:
                 resident_eval_cache.append(
                     self._make_resident_evaluator(eval_ds))
-            return resident_eval_cache[0](state)
+            return resident_eval_cache[0]
+
+        # Lagged in-loop eval: the eval program is DISPATCHED at its
+        # boundary (the device runs it in enqueue order, on exactly that
+        # boundary's params — later donating train steps cannot alias the
+        # buffers an enqueued program reads) but its fetch + host
+        # post-processing (pred scatter, official-score reweighting) are
+        # deferred to the next log boundary, by which point further train
+        # windows are already queued on the device. The ~35 ms relay fetch
+        # then overlaps device work instead of draining the dispatch
+        # pipeline — the eval's synchronous metric fetch was most of the
+        # ~4 s eval+checkpoint boundary cost in the production soak
+        # (BASELINE.md 2026-08-19). Metric VALUES are exact for their
+        # boundary; only their arrival is late, like the lagged train
+        # windows above.
+        pending_eval: list = []  # [(boundary stepno, dispatch handle)]
+
+        def collect_eval() -> None:
+            at, handle = pending_eval.pop()
+            eval_metrics, _ = resident_eval_fn().collect(handle)
+            self.metrics.write(at, eval_metrics, prefix="val")
+            log.info("eval @ %d: %s", at,
+                     {k: round(v, 4) for k, v in eval_metrics.items()})
 
         timer = Timer()
         pending: Dict[str, jax.Array] = {}
@@ -857,12 +879,19 @@ class Trainer:
                     and stepno >= next_eval:
                 next_eval = _next_multiple(stepno, t.eval_every)
                 if eval_ds is not None:
-                    eval_metrics, _ = resident_eval(state)
+                    if pending_eval:  # at most one in flight, in order
+                        collect_eval()
+                    pending_eval.append(
+                        (stepno, resident_eval_fn().dispatch(state)))
                 else:
                     eval_metrics, _ = self.evaluate(state, eval_batches_fn())
-                self.metrics.write(stepno, eval_metrics, prefix="val")
-                log.info("eval @ %d: %s", stepno,
-                         {k: round(v, 4) for k, v in eval_metrics.items()})
+                    self.metrics.write(stepno, eval_metrics, prefix="val")
+                    log.info("eval @ %d: %s", stepno,
+                             {k: round(v, 4)
+                              for k, v in eval_metrics.items()})
+            if pending_eval and (stepno >= pending_eval[0][0] + t.log_every
+                                 or stepno >= max_steps):
+                collect_eval()
             self.ckpt.save(stepno, state)
         if profiling:
             # profile_start + profile_steps exceeded max_steps: the stop
@@ -872,6 +901,8 @@ class Trainer:
             jax.profiler.stop_trace()
             log.info("profiler trace (truncated at max_steps) written to "
                      "%s/profile", self.train_dir)
+        while pending_eval:  # safety: the loop's final drain covers this
+            collect_eval()
         self.ckpt.wait()
         final = int(jax.device_get(state.step))
         if self.ckpt.latest_step() != final:
@@ -1208,9 +1239,23 @@ class Trainer:
         labels_host = (np.asarray(ds.arrays["answer_id"])
                        if "answer_id" in ds.arrays else None)
 
-        def run(state: TrainState) -> Tuple[Dict[str, float], np.ndarray]:
-            p, m = eval_step(state.params, state.extra_vars,
+        def dispatch(state: TrainState) -> Tuple[jax.Array, Any]:
+            """Enqueue the whole-split eval program; returns device
+            futures. Device execution is FIFO per device, so the enqueued
+            scan reads this state's param buffers before any later
+            (donating) train step can alias them — the caller may keep
+            training immediately."""
+            return eval_step(state.params, state.extra_vars,
                              dev_idxs, dev_masks, dev_arrays)
+
+        def collect(handle: Tuple[jax.Array, Any]
+                    ) -> Tuple[Dict[str, float], np.ndarray]:
+            """Fetch a :func:`dispatch` handle and finish host-side: the
+            one relay round trip plus the pred scatter / official-score
+            reweighting. Deferring this past the next train dispatches
+            hides the fetch behind already-queued device work (the in-loop
+            lagged-eval path in :meth:`fit_resident`)."""
+            p, m = handle
             if jax.process_count() > 1:
                 # Multi-host: the preds are data-sharded across hosts, so
                 # a plain device_get would touch non-addressable shards.
@@ -1251,6 +1296,11 @@ class Trainer:
                     / max(wv.sum(), 1e-9))
             return means, preds
 
+        def run(state: TrainState) -> Tuple[Dict[str, float], np.ndarray]:
+            return collect(dispatch(state))
+
+        run.dispatch = dispatch
+        run.collect = collect
         return run
 
     def evaluate_resident(self, state: TrainState, ds
