@@ -36,6 +36,9 @@ def _spawn(pid: int, nproc: int, port: int, run_dir: str,
                         f"{n_local_devices}")
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    # `python tests/mp_worker.py` puts tests/ (the script dir), not the
+    # cwd, on sys.path — the package import needs the repo root explicitly.
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.Popen(
         [sys.executable, _WORKER, str(pid), str(nproc), str(port),
          run_dir, out],
