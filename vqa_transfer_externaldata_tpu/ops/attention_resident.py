@@ -143,133 +143,6 @@ def _onehot8(k, dtype):
     return (idx == k).astype(dtype)
 
 
-def _make_fwd_kernel(n_valid: int, normalize: bool, save_h: bool):
-    def kernel(rows_ref, v_ref, qh_ref, wv_ref, ws_ref,
-               vatt_ref, alpha_ref, *maybe_h_ref):
-        del rows_ref  # consumed by the v block index map
-        i = pl.program_id(0)
-        k = i % 8  # row within the 8-question output window
-        f32 = jnp.float32
-
-        @pl.when(k == 0)
-        def _():
-            vatt_ref[:] = jnp.zeros_like(vatt_ref)
-            alpha_ref[:] = jnp.zeros_like(alpha_ref)
-
-        v = v_ref[0]  # [Np, C] this question's grid row
-        if v.dtype == jnp.int8:
-            # Quantized store: dequantization is a fold of the global
-            # scale into wv (done by the wrapper) + a post-scale of v_att
-            # (outside the kernel) — in here the int8 codes just ride the
-            # MXU at the compute dtype.
-            v = v.astype(wv_ref.dtype)
-        dt = v.dtype
-        Np = v.shape[0]
-        z = jnp.dot(v, wv_ref[:], preferred_element_type=f32)  # [Np, H]
-        if normalize:
-            sq = jnp.sum(jnp.square(v), axis=-1, keepdims=True,
-                         dtype=f32)
-            r = jax.lax.rsqrt(sq + 1e-12)  # [Np, 1]
-            z = z * r
-        # this question's qh row, selected by a [1,8]x[8,H] one-hot dot
-        qh_row = jax.lax.dot_general(
-            _onehot8(k, qh_ref.dtype).reshape(1, 8), qh_ref[0],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)  # [1, H]
-        h = jnp.maximum(z + qh_row, 0.0)
-        if save_h:
-            # Residual for the backward (grad-path variant): storing the
-            # post-relu activations removes the backward's v @ wv
-            # recompute — half its MXU work (419 MF/question at
-            # production shape; profiled 1.54 -> ~0.8 ms/step).
-            maybe_h_ref[0][0] = h.astype(maybe_h_ref[0].dtype)
-        ws_row = ws_ref[:1].astype(f32)  # [1, H]
-        s = jnp.sum(h * ws_row, axis=-1, keepdims=True)  # [Np, 1]
-        idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        s = jnp.where(idx < n_valid, s, _NEG_INF)
-        m = jnp.max(s)
-        p = jnp.exp(s - m)
-        w = p / jnp.sum(p)  # [Np, 1] softmax weights
-        pw = (w * r) if normalize else w
-        vatt_row = jax.lax.dot_general(
-            pw.astype(dt), v, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)  # [1, C]
-        vatt_ref[0] += _onehot8(k, f32) * vatt_row
-        alpha_ref[0] += _onehot8(k, f32) * w.reshape(1, Np)
-
-    return kernel
-
-
-def _make_bwd_kernel(n_valid: int, normalize: bool):
-    def kernel(rows_ref, v_ref, h_ref, ws_ref, alpha_ref,
-               g_ref, sga_ref, dqh_ref, dwv_ref, dws_ref):
-        # The forward saved h = relu(z + qh) (grad-path variant), so this
-        # kernel needs neither wv nor qh: the relu mask is h > 0, dws
-        # reads h directly, and the v @ wv recompute — half the
-        # backward's MXU work — is gone (profiled 1.54 -> ~0.8 ms/step
-        # at production shape).
-        del rows_ref
-        i = pl.program_id(0)
-        k = i % 8
-        f32 = jnp.float32
-
-        @pl.when(i == 0)
-        def _():
-            dwv_ref[:] = jnp.zeros_like(dwv_ref)
-            dws_ref[:] = jnp.zeros_like(dws_ref)
-
-        @pl.when(k == 0)
-        def _():
-            dqh_ref[:] = jnp.zeros_like(dqh_ref)
-
-        v = v_ref[0]  # [Np, C]
-        if v.dtype == jnp.int8:
-            # Quantized store (see fwd kernel): the wrapper pre-scales the
-            # incoming g cotangent and post-scales dwv by the global
-            # scale; in here the codes compute at the saved-h dtype.
-            v = v.astype(h_ref.dtype)
-        dt = v.dtype
-        Np = v.shape[0]
-        onehot_row = _onehot8(k, dt).reshape(1, 8)
-        onehot_f = _onehot8(k, f32).reshape(1, 8)
-        g_row = jax.lax.dot_general(  # [1, C] cotangent of v_att
-            onehot_row, g_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32).astype(dt)
-        alpha_row = jax.lax.dot_general(  # [1, Np]
-            onehot_f, alpha_ref[0],
-            (((1,), (0,)), ((), ())), preferred_element_type=f32)
-        sga_row = jax.lax.dot_general(  # [1, Np]: ga + (-S) packed
-            onehot_f, sga_ref[0],
-            (((1,), (0,)), ((), ())), preferred_element_type=f32)
-
-        if normalize:
-            sq = jnp.sum(jnp.square(v), axis=-1, keepdims=True,
-                         dtype=f32)
-            r = jax.lax.rsqrt(sq + 1e-12)  # [Np, 1]
-        # dalpha_n = g . v_hat_n (+ ga_n - S, packed in sga)
-        dalpha = jax.lax.dot_general(
-            g_row, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)  # [1, Np]
-        if normalize:
-            dalpha = dalpha * r.reshape(1, Np)
-        ds = alpha_row * (dalpha + sga_row)  # [1, Np]
-        ds_col = ds.reshape(Np, 1)
-
-        h = h_ref[0].astype(f32)  # [Np, H] saved relu(z + qh)
-        ws_row = ws_ref[:1].astype(f32)
-        dz = jnp.where(h > 0.0, ds_col * ws_row, 0.0)  # [Np, H]
-
-        dws_ref[0:1] += jnp.sum(ds_col * h, axis=0, keepdims=True)
-        dqh_ref[0] += _onehot8(k, f32) * jnp.sum(dz, axis=0,
-                                                 keepdims=True)
-        dz_r = dz * r if normalize else dz
-        dwv_ref[:] += jax.lax.dot_general(
-            v, dz_r.astype(dt), (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)  # [C, H]
-
-    return kernel
-
-
 def _make_fwd_kernel_multi(n_valid: int, normalize: bool, save_h: bool,
                            glimpses: int):
     """G-glimpse forward: the dominant z = v @ wv matmul is computed ONCE
@@ -330,7 +203,7 @@ def _make_fwd_kernel_multi(n_valid: int, normalize: bool, save_h: bool,
 
 def _make_bwd_kernel_multi(n_valid: int, normalize: bool, glimpses: int):
     """G-glimpse backward from the saved post-relu h (shared across
-    glimpses, exactly like the G=1 kernel): per glimpse the softmax
+    glimpses — G=1 is simply this kernel unrolled once): per glimpse the softmax
     backward produces ds_g, all glimpses' dz accumulate into ONE
     [Np, H] cotangent so the dominant dwv = v^T dz matmul runs once."""
 
@@ -404,128 +277,6 @@ def _check_shapes(store, rows, qh, interpret):
             f"store channel axis {C} must be a multiple of 128")
     assert B % 8 == 0, f"batch {B} must be a multiple of 8"
     return M, Np, C, B, qh.shape[-1]
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_valid", "normalize", "interpret",
-                                    "save_h", "store_scale"))
-def _resident_fwd(store, rows, qh, wv, ws, *, n_valid, normalize,
-                  interpret, save_h=False, store_scale=1.0):
-    M, Np, C, B, H = _check_shapes(store, rows, qh, interpret)
-    quant = jnp.issubdtype(store.dtype, jnp.integer)
-    # Compute dtype: the store's for float stores; the model's (qh's) for
-    # int8 stores, whose codes the kernel casts in VMEM.
-    dt = qh.dtype if quant else store.dtype
-    # qh stays f32: the gathered paths add the question projection to the
-    # f32 score accumulator without a bf16 round trip
-    # (ops/attention._attention_pallas_fwd) — same convention here.
-    qh8 = qh.astype(jnp.float32).reshape(B // 8, 8, H)
-    # int8 fold: z = (g*wv)^T v8 is the true-scale projection.
-    wv_c = (wv * store_scale).astype(dt) if store_scale != 1.0 \
-        else wv.astype(dt)
-    ws_rows = jnp.broadcast_to(ws.astype(dt)[None, :], (8, H))
-    out_specs = [
-        pl.BlockSpec((1, 8, C), lambda i, rows: (i // 8, 0, 0)),
-        pl.BlockSpec((1, 8, Np), lambda i, rows: (i // 8, 0, 0)),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((B // 8, 8, C), jnp.float32),
-        jax.ShapeDtypeStruct((B // 8, 8, Np), jnp.float32),
-    ]
-    if save_h:  # grad-path residual, read back by _resident_bwd
-        out_specs.append(pl.BlockSpec((1, Np, H),
-                                      lambda i, rows: (i, 0, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((B, Np, H), dt))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Np, C), lambda i, rows: (rows[i], 0, 0)),
-            pl.BlockSpec((1, 8, H), lambda i, rows: (i // 8, 0, 0)),
-            pl.BlockSpec((C, H), lambda i, rows: (0, 0)),
-            pl.BlockSpec((8, H), lambda i, rows: (0, 0)),
-        ],
-        out_specs=out_specs,
-    )
-    out = pl.pallas_call(
-        _make_fwd_kernel(n_valid, normalize, save_h),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * Np * (C * H + C),
-            bytes_accessed=B * Np * C * store.dtype.itemsize,
-            transcendentals=B * Np,
-        ),
-        interpret=interpret,
-    )(rows.astype(jnp.int32), store, qh8, wv_c, ws_rows)
-    vatt8, alpha8 = out[0], out[1]
-    vatt = vatt8.reshape(B, C)
-    if store_scale != 1.0:
-        # Dequantize the attended vector: the kernel summed softmax
-        # weights against the raw int8 codes.
-        vatt = vatt * store_scale
-    ret = (vatt, alpha8.reshape(B, Np)[:, :n_valid])
-    return ret + (out[2],) if save_h else ret
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_valid", "normalize", "interpret",
-                                    "store_scale"))
-def _resident_bwd(store, rows, h, ws, alpha, g, sga, *, n_valid,
-                  normalize, interpret, store_scale=1.0):
-    """Backward from the saved forward activations ``h`` [B, Np, H]
-    (compute dtype) — no qh/wv operands and no z recompute (half the
-    backward's MXU work at production shape). int8 stores: the incoming
-    ``g`` is pre-scaled (dalpha = (g*scale) . v8) and dwv post-scaled
-    (dwv = scale * v8^T dz) so the kernel only sees raw codes."""
-    M, Np, C = store.shape
-    B = rows.shape[0]
-    H = h.shape[-1]
-    dt = h.dtype
-    ws_rows = jnp.broadcast_to(ws.astype(dt)[None, :], (8, H))
-    alpha8 = alpha.astype(jnp.float32).reshape(B // 8, 8, Np)
-    # g rides the MXU against the bf16 store for dalpha = g . v_hat —
-    # the gathered backward casts identically (ops/attention._make_fused
-    # .bwd: einsum(g.astype(v.dtype), v)).
-    if store_scale != 1.0:
-        g = g * store_scale
-    g8 = g.astype(dt).reshape(B // 8, 8, C)
-    sga8 = sga.astype(jnp.float32).reshape(B // 8, 8, Np)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Np, C), lambda i, rows: (rows[i], 0, 0)),
-            pl.BlockSpec((1, Np, H), lambda i, rows: (i, 0, 0)),
-            pl.BlockSpec((8, H), lambda i, rows: (0, 0)),
-            pl.BlockSpec((1, 8, Np), lambda i, rows: (i // 8, 0, 0)),
-            pl.BlockSpec((1, 8, C), lambda i, rows: (i // 8, 0, 0)),
-            pl.BlockSpec((1, 8, Np), lambda i, rows: (i // 8, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 8, H), lambda i, rows: (i // 8, 0, 0)),
-            pl.BlockSpec((C, H), lambda i, rows: (0, 0)),
-            pl.BlockSpec((8, H), lambda i, rows: (0, 0)),
-        ],
-    )
-    dqh8, dwv, dws = pl.pallas_call(
-        _make_bwd_kernel(n_valid, normalize),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B // 8, 8, H), jnp.float32),
-            jax.ShapeDtypeStruct((C, H), jnp.float32),
-            jax.ShapeDtypeStruct((8, H), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * Np * C * H,
-            bytes_accessed=B * Np * (C + H) * store.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(rows.astype(jnp.int32), store, h, ws_rows, alpha8, g8, sga8)
-    if store_scale != 1.0:
-        dwv = dwv * store_scale
-    return dqh8.reshape(B, H), dwv, dws[0]
 
 
 @functools.partial(jax.jit,
@@ -650,8 +401,9 @@ def _resident_bwd_multi(store, rows, h, ws, alpha, g, sga, *, n_valid,
 def _make_fused_multi(n_valid: int, normalize: bool, interpret: bool,
                       store_scale: float = 1.0):
     """custom_vjp wrapper of the G-glimpse kernels (``ws`` [H, G]);
-    mirrors ``_make_fused`` exactly — shared saved-h residual, zero/float0
-    store cotangents, per-glimpse softmax-backward packing."""
+    the ONLY fused wrapper (a 1-D ``w_score`` routes here with G=1) —
+    shared saved-h residual, zero/float0 store cotangents, per-glimpse
+    softmax-backward packing."""
 
     @jax.custom_vjp
     def fused(store, rows, qh, wv, ws):
@@ -688,58 +440,6 @@ def _make_fused_multi(n_valid: int, normalize: bool, interpret: bool,
         sga = ga_f - s[:, None, :]  # [B, Np, G] (alpha is already padded)
         dqh, dwv, dws = _resident_bwd_multi(
             store, rows, h, ws, alpha_f, g_f, sga,
-            n_valid=n_valid, normalize=normalize, interpret=interpret,
-            store_scale=store_scale)
-        dstore = (np.zeros(store.shape, jax.dtypes.float0)
-                  if jnp.issubdtype(store.dtype, jnp.integer)
-                  else jnp.zeros_like(store))
-        return (dstore,
-                np.zeros(rows.shape, jax.dtypes.float0),
-                dqh.astype(qh.dtype), dwv.astype(wv.dtype),
-                dws.astype(ws.dtype))
-
-    fused.defvjp(fwd, bwd)
-    return fused
-
-
-@functools.lru_cache(maxsize=None)
-def _make_fused(n_valid: int, normalize: bool, interpret: bool,
-                store_scale: float = 1.0):
-    @jax.custom_vjp
-    def fused(store, rows, qh, wv, ws):
-        return _resident_fwd(store, rows, qh, wv, ws, n_valid=n_valid,
-                             normalize=normalize, interpret=interpret,
-                             store_scale=store_scale)
-
-    def fwd(store, rows, qh, wv, ws):
-        # The grad-path forward also writes h = relu(z + qh) [B, Np, H]
-        # (compute dtype) so the backward skips the v @ wv recompute. The
-        # no-grad primal above (eval paths) never materializes it.
-        vatt, alpha, h = _resident_fwd(
-            store, rows, qh, wv, ws, n_valid=n_valid,
-            normalize=normalize, interpret=interpret, save_h=True,
-            store_scale=store_scale)
-        # qh/wv ride along only for their dtypes (they are live params
-        # anyway — no extra memory under jit); the kernel consumes h.
-        return (vatt, alpha), (store, rows, h, qh, wv, ws, alpha, vatt)
-
-    def bwd(residuals, cotangents):
-        store, rows, h, qh, wv, ws, alpha, vatt = residuals
-        g, ga = cotangents
-        f32 = jnp.float32
-        Np = store.shape[1]
-        # S_b = g_b . vatt_b + sum alpha ga (residuals only); pack
-        # (ga - S) padded to Np so the kernel applies both in one add.
-        ga_f = ga.astype(f32)
-        alpha_f = alpha.astype(f32)
-        s = (jnp.einsum("bc,bc->b", g.astype(f32), vatt.astype(f32),
-                        preferred_element_type=f32)
-             + jnp.sum(alpha_f * ga_f, axis=1))
-        sga = jnp.pad(ga_f, ((0, 0), (0, Np - ga_f.shape[1]))) \
-            - s[:, None]
-        alpha_p = jnp.pad(alpha_f, ((0, 0), (0, Np - alpha_f.shape[1])))
-        dqh, dwv, dws = _resident_bwd(
-            store, rows, h, ws, alpha_p, g.astype(f32), sga,
             n_valid=n_valid, normalize=normalize, interpret=interpret,
             store_scale=store_scale)
         dstore = (np.zeros(store.shape, jax.dtypes.float0)
@@ -803,9 +503,15 @@ def spatial_attention_resident(
     if jnp.issubdtype(store.dtype, jnp.integer):
         assert not normalize, \
             "int8 stores must be L2-prenormalized before quantization"
+    # ONE kernel family: a 1-D w_score is the G-glimpse machinery with
+    # G=1 (the unrolled kernel body is op-for-op what a dedicated G=1
+    # kernel was — on-chip A/B'd at the production shape, BASELINE.md —
+    # and a single implementation keeps softmax-backward/int8-fold fixes
+    # in one place).
     multi = w_score.ndim == 2
-    maker = _make_fused_multi if multi else _make_fused
-    fused = maker(n_valid, normalize, interpret, float(store_scale))
+    ws2 = w_score if multi else w_score[:, None]
+    fused = _make_fused_multi(n_valid, normalize, interpret,
+                              float(store_scale))
     if mesh is not None and data_axis is not None \
             and mesh.shape[data_axis] > 1:
         P = jax.sharding.PartitionSpec
@@ -817,11 +523,11 @@ def spatial_attention_resident(
             # The body is a custom_vjp call; skip the varying-axes check
             # (the specs above state the replication contract explicitly).
             check_vma=False)
-    out = fused(store, rows, qh, wv, w_score)
+    v_att, alpha = fused(store, rows, qh, wv, ws2)
+    # The primal returns alpha over the padded cell axis (the slice lives
+    # outside the custom_vjp; its transpose zero-pads the cotangent,
+    # matching the zero alpha of masked cells).
+    alpha = alpha[:, :n_valid, :]
     if multi:
-        # The multi primal returns alpha over the padded cell axis (the
-        # slice lives outside the custom_vjp; its transpose zero-pads the
-        # cotangent, matching the zero alpha of masked cells).
-        v_att, alpha = out
-        return v_att, alpha[:, :n_valid, :]
-    return out
+        return v_att, alpha
+    return v_att, alpha[:, :, 0]
