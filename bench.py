@@ -107,8 +107,10 @@ ROUND1_CEILING = 53966.0
 # compute-ceiling context next to the noisy wall number. 3.63 -> 3.00
 # when the resident backward began consuming the forward's saved
 # activations instead of recomputing v @ wv (ops/attention_resident);
-# 3.00 -> 2.77 with the time-major GRU + prenormalized store.
-DEVICE_STEP_MS_PROFILED = 2.77
+# 3.00 -> 2.77 with the time-major GRU + prenormalized store;
+# 2.77 -> 2.69 with the time-major embedding lookup (kills the gather
+# and dwords relayout copies around the word-embedding scatter).
+DEVICE_STEP_MS_PROFILED = 2.69
 
 _t0 = time.time()
 
@@ -411,6 +413,11 @@ def main() -> None:
         "train.store_sharded":
             os.environ.get("BENCH_STORE_SHARDED", "").lower()
             not in ("", "0", "false"),
+        # BENCH_MU_DTYPE=bfloat16 benches the half-width Adam first
+        # moment (config.adam_mu_dtype — optimizer-traffic A/B). Default
+        # float32 keeps the headline exact-math.
+        "train.adam_mu_dtype":
+            os.environ.get("BENCH_MU_DTYPE", "float32"),
     }
     if os.environ.get("BENCH_PROFILE"):
         overrides["train.profile_start"] = window  # skip the compile window

@@ -105,3 +105,21 @@ def test_bf16_close_to_f32(setup):
     np.testing.assert_allclose(np.asarray(out32),
                                np.asarray(out16, dtype=np.float32),
                                rtol=0.1, atol=0.05)
+
+
+def test_time_major_matches_batch_major(setup):
+    """time_major=True consumes [T, B, D] and must be bit-identical to
+    the [B, T, D] path (same params — the flag only moves the input
+    transpose out of the module; fwd AND input grads)."""
+    enc, params, x, mask, _, H = setup
+    tm = GRUEncoder(hidden=H, dtype=jnp.float32, time_major=True)
+    out_b = enc.apply(params, x, mask)
+    out_t = tm.apply(params, jnp.swapaxes(x, 0, 1), mask)
+    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_t))
+
+    gb = jax.grad(lambda xx: enc.apply(params, xx, mask).sum())(x)
+    gt = jax.grad(lambda xx: tm.apply(params, xx, mask).sum())(
+        jnp.swapaxes(x, 0, 1))
+    np.testing.assert_allclose(np.asarray(gb),
+                               np.asarray(jnp.swapaxes(gt, 0, 1)),
+                               rtol=1e-6, atol=1e-6)

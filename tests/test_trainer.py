@@ -1274,3 +1274,31 @@ def test_lagged_inloop_eval_matches_synchronous(tiny_config, tmp_path,
             np.testing.assert_allclose(
                 vals[stop][f"val/{k}"], v, rtol=1e-6,
                 err_msg=f"step {stop} metric {k}")
+
+
+def test_adam_mu_dtype_bfloat16(tiny_config):
+    """train.adam_mu_dtype=bfloat16 stores the first moment in bf16 (a
+    per-step HBM traffic knob — BASELINE.md step tail) while params and
+    updates stay f32; updates track the f32-mu optimizer to bf16-rounding
+    tolerance."""
+    import jax.numpy as jnp
+
+    from vqa_transfer_externaldata_tpu.parallel.trainer import make_optimizer
+
+    cfg = tiny_config.replace_flat({"train.adam_mu_dtype": "bfloat16",
+                                    "train.warmup_steps": 1})
+    params = {"w": jnp.ones((32,), jnp.float32)}
+    grads = {"w": jnp.full((32,), 0.25, jnp.float32)}
+    tx, _ = make_optimizer(cfg)
+    st = tx.init(params)
+    mus = [l for l in jax.tree_util.tree_leaves(st)
+           if getattr(l, "dtype", None) == jnp.bfloat16]
+    assert mus, "no bf16 leaf in the optimizer state"
+    updates, _ = tx.update(grads, st, params)
+    assert updates["w"].dtype == jnp.float32
+
+    ref_tx, _ = make_optimizer(tiny_config.replace_flat(
+        {"train.warmup_steps": 1}))
+    ref, _ = ref_tx.update(grads, ref_tx.init(params), params)
+    np.testing.assert_allclose(np.asarray(updates["w"]),
+                               np.asarray(ref["w"]), rtol=1e-2)

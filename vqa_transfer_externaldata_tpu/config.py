@@ -125,6 +125,14 @@ class TrainConfig:
     adam_eps: float = 1e-8
     grad_clip_norm: float = 10.0
     weight_decay: float = 0.0
+    # Adam first-moment storage dtype ("float32" | "bfloat16"): mu is a
+    # scan-carried buffer, so its width is real per-step HBM traffic
+    # (~45 MB read+write at the flagship's 11M params — part of the
+    # step's optimizer-traffic floor, BASELINE.md "step tail"). bf16 mu
+    # changes only mu's storage rounding (optax casts per update); nu
+    # stays f32 — its (1-b2)=1e-3 increments are below bf16's ~2^-8
+    # relative resolution and would stall the EMA.
+    adam_mu_dtype: str = "float32"
     max_steps: int = 100_000
     log_every: int = 50
     eval_every: int = 1000

@@ -165,15 +165,20 @@ class VLMapDescriptionModel(nn.Module):
 
         # Blanked-description encoder in the shared word space (the blank
         # itself is <unk>, which stays visible to the GRU as context).
-        words = jnp.take(word_emb, desc_ids, axis=0).astype(dt)
         mask = (desc_ids != PAD_ID).astype(jnp.float32)
         if self.bidirectional:
+            words = jnp.take(word_emb, desc_ids, axis=0).astype(dt)
             d = BiGRUEncoder(self.rnn_dim, dtype=dt,
                              name="desc_bigru")(words, mask)
         else:
+            # Lookup of transposed ids: words are born [T, B, D] — the
+            # recurrence's layout — so neither the gather output nor the
+            # backward's dwords needs a relayout copy ahead of the
+            # embedding scatter (models/vqa_attention.py, same trick).
+            words_tm = jnp.take(word_emb, desc_ids.T, axis=0).astype(dt)
             d = GRUEncoder(self.rnn_dim, dtype=dt,
-                           use_pallas=self.use_pallas,
-                           name="desc_gru")(words, mask)
+                           use_pallas=self.use_pallas, time_major=True,
+                           name="desc_gru")(words_tm, mask)
 
         task_table = self.param("task_embedding",
                                 nn.initializers.normal(0.02),

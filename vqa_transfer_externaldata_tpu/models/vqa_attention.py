@@ -93,18 +93,26 @@ class VQAAttentionModel(nn.Module):
             B, N, C = features.shape
 
         # --- question encoder -------------------------------------------
+        # Embedding lookup of TRANSPOSED ids: words are born [T, B, D] —
+        # the layout the GRU recurrence consumes — so neither the gather
+        # output nor (in the backward) the dwords cotangent ahead of the
+        # embedding scatter needs a relayout copy (transposing the int32
+        # ids is 26 KB; transposing the activations was 4 MB each way,
+        # ~0.03 ms/step at B=256 — BASELINE.md step tail). Same params,
+        # same math: scatter-add order is immaterial.
         mask = (q_ids != PAD_ID).astype(jnp.float32)
-        words = WordEmbedding(self.vocab_size, self.word_dim,
-                              init_matrix=self.word_init, dtype=dt,
-                              name="word_emb")(q_ids)
+        words_tm = WordEmbedding(self.vocab_size, self.word_dim,
+                                 init_matrix=self.word_init, dtype=dt,
+                                 name="word_emb")(q_ids.T)  # [T, B, D]
         if self.rnn_variant == "tf":
             from vqa_transfer_externaldata_tpu.ops.gru import TFGRUEncoder
 
-            q = TFGRUEncoder(self.rnn_dim, dtype=dt, name="gru")(words, mask)
+            q = TFGRUEncoder(self.rnn_dim, dtype=dt, name="gru")(
+                jnp.swapaxes(words_tm, 0, 1), mask)
         else:
             q = GRUEncoder(self.rnn_dim, dtype=dt,
-                           use_pallas=self.use_pallas,
-                           name="gru")(words, mask)
+                           use_pallas=self.use_pallas, time_major=True,
+                           name="gru")(words_tm, mask)
 
         # --- single-glimpse spatial attention (fused Pallas kernel; the
         # per-cell L2 normalization is fused into the op) ----------------

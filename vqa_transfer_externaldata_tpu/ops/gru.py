@@ -54,10 +54,21 @@ class GRUEncoder(nn.Module):
     # Fused Pallas recurrence (forward direction, prefix masks). The scan
     # path remains for reverse/BiGRU and as the fallback.
     use_pallas: bool = True
+    # x arrives [T, B, D] instead of [B, T, D] (mask stays [B, T]). The
+    # recurrence consumes time-major anyway; a caller that can PRODUCE
+    # time-major (e.g. embedding-lookup of transposed token ids — indices
+    # are 26 KB, activations 4 MB) skips this layer's input transpose AND
+    # hands its own backward a time-major cotangent, killing the
+    # gather-output copy + the dwords relayout ahead of the embedding
+    # scatter (profiled ~0.03 ms/step at B=256, BASELINE.md step tail).
+    time_major: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-        B, T, D = x.shape
+        if self.time_major:
+            T, B, D = x.shape
+        else:
+            B, T, D = x.shape
         H = self.hidden
         kinit = nn.initializers.glorot_uniform()
 
@@ -76,7 +87,7 @@ class GRUEncoder(nn.Module):
         # copy_bitcast_fusion.2), and the backward paid a second one for
         # dgx (copy.195, 0.067 ms) — both gone in this layout; the dx/dWx
         # matmuls contract over T*B and never need batch-major.
-        xt = jnp.swapaxes(x, 0, 1)  # [T, B, D]
+        xt = x if self.time_major else jnp.swapaxes(x, 0, 1)  # [T, B, D]
         gx_t = jnp.dot(xt.reshape(T * B, D), wx.astype(dt),
                        preferred_element_type=jnp.float32)
         gx_t = (gx_t + b).reshape(T, B, 3 * H)

@@ -158,7 +158,11 @@ def make_optimizer(cfg: Config, extra_frozen: str = ""
     lr = make_lr_schedule(cfg)
     frozen_csv = ",".join(s for s in (t.freeze_params, extra_frozen) if s)
     adamw = optax.adamw(lr, b1=t.adam_beta1, b2=t.adam_beta2,
-                        eps=t.adam_eps, weight_decay=t.weight_decay)
+                        eps=t.adam_eps, weight_decay=t.weight_decay,
+                        # mu is scan-carried state: bf16 halves its
+                        # read+write share of the per-step optimizer
+                        # traffic floor (config.py adam_mu_dtype).
+                        mu_dtype=t.adam_mu_dtype)
     if not frozen_csv:
         return optax.chain(optax.clip_by_global_norm(t.grad_clip_norm),
                            adamw), lr
