@@ -36,7 +36,7 @@ output, BENCH_r02.json rc=124):
   ``"status": "ok"``.
 - **Statistics** (``_summarize``): value = trimmed mean (min/max
   dropped) of the steady windows — first window discarded (jit compile +
-  upload); windows FASTER than the device physically is (>1.25× the
+  upload); windows FASTER than the device physically is (>1.1× the
   profiled ceiling — a relay fetch stall under-counts one window and
   over-counts the next) merged harmonically into their predecessor
   (``impossible_windows_merged``); then any LEADING windows below half
@@ -150,7 +150,7 @@ def _summarize(qps_windows: list, n_chips: int,
 
     - First window is discarded: it carries the jit compile + dataset
       upload.
-    - A window FASTER than the device physically is (> 1.25× the
+    - A window FASTER than the device physically is (> 1.1× the
       profiled-device-step ceiling) means the relay stalled the previous
       window's metric fetch and the next fetch returned instantly — the
       under-counting and over-counting windows span honest wall time
@@ -172,7 +172,16 @@ def _summarize(qps_windows: list, n_chips: int,
     per_chip = [float(q) / n_chips for q in steady]
     merged = 0
     if ceiling:
-        bound = 1.25 * ceiling
+        # 1.1x margin over the profiled ceiling: wide enough for the
+        # constant being a touch stale vs the live device step, tight
+        # enough that a stall/catch-up pair cannot slip under it (the
+        # 2026-08-20 int8/sharded runs carried (82.6k, 115.6k) and
+        # (79.5k, 117.7k) pairs — 1.22-1.24x a 95.2k ceiling, under the
+        # old 1.25 bound, leaving a physically impossible best_window in
+        # the artifact). Merging two HONEST neighbors (if the constant
+        # ever lags a real ceiling gain by >10%) is harmless: their
+        # harmonic mean sits at their own level.
+        bound = 1.1 * ceiling
         while len(per_chip) > 1:
             idx = next((i for i, r in enumerate(per_chip) if r > bound),
                        None)

@@ -131,7 +131,7 @@ def test_summarize_merges_impossible_windows():
     """A relay stall during a metric fetch under-counts one window and
     over-counts the next (measured pair 1,057 / 2,328,265 q/s on a 93k
     chip, 2026-08-18); only together do they span honest wall time, so a
-    window above 1.25x the profiled device ceiling merges harmonically
+    window above 1.1x the profiled device ceiling merges harmonically
     into its predecessor."""
     ceiling = 92.4e3
     # 2026-08-18 run shape: ramp, stall pair, three clean windows
@@ -153,7 +153,7 @@ def test_summarize_merges_impossible_windows():
     s = bench._summarize([1.0, 500e3, 80e3, 85e3, 86e3], 1,
                          ceiling=ceiling)
     assert s["impossible_windows_merged"] >= 1
-    assert max(s["windows_qps_per_chip"]) <= 1.25 * ceiling
+    assert max(s["windows_qps_per_chip"]) <= 1.1 * ceiling
 
     # clean run: nothing merged, same result as without a ceiling
     clean = [1.0, 88e3, 90e3, 91e3, 92e3]
