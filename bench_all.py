@@ -360,17 +360,26 @@ def main() -> None:
            "devices": jax.device_count(),
            "note": ("wall timings through the axon relay; the profiled "
                     "device step is the stable number (BASELINE.md)")}
+    # BENCH_ALL_ONLY=<row[,row...]> re-runs a subset and MERGES into the
+    # existing artifact (a single relay-contaminated row shouldn't cost a
+    # full re-run of every other row).
+    only = {s for s in os.environ.get("BENCH_ALL_ONLY", "").split(",") if s}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f"BENCH_ALL_r{rnd:02d}.json" if rnd
+                        else "BENCH_ALL.json")
+    if only and os.path.exists(path):
+        with open(path) as fh:
+            out = {**json.load(fh), **out}
     for name, fn in [("stage1_vlmap_train", bench_stage1_vlmap),
                      ("resident_full_split_eval", bench_resident_eval),
                      ("end2end_raw_image_train_step", bench_end2end_step),
                      ("end2end_with_ingest", bench_end2end_ingest),
                      ("serving_predictor_latency", bench_serving)]:
+        if only and name not in only:
+            continue
         _note(f"{name}: starting")
         out[name] = fn(on_tpu)
         _note(f"{name}: {out[name]}")
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        f"BENCH_ALL_r{rnd:02d}.json" if rnd
-                        else "BENCH_ALL.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

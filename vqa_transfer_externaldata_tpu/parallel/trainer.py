@@ -156,6 +156,12 @@ def make_optimizer(cfg: Config, extra_frozen: str = ""
     read-modify-write traffic for updates that are identically zero)."""
     t = cfg.train
     lr = make_lr_schedule(cfg)
+    if t.adam_mu_dtype not in ("float32", "bfloat16"):
+        # Fail at build time, loudly: f16 mu would overflow silently and
+        # anything else is a typo (mirrors the store_quantize gate).
+        raise ValueError(
+            f"train.adam_mu_dtype={t.adam_mu_dtype!r}: 'float32' or "
+            "'bfloat16' (BASELINE.md step-tail A/B)")
     frozen_csv = ",".join(s for s in (t.freeze_params, extra_frozen) if s)
     adamw = optax.adamw(lr, b1=t.adam_beta1, b2=t.adam_beta2,
                         eps=t.adam_eps, weight_decay=t.weight_decay,

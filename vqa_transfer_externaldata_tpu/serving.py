@@ -52,6 +52,25 @@ class Predictor:
             self._extra = {}
         if not self._extra:
             self._extra = self._materialize_extra()
+        # Params live on device from init: jit re-transfers host-numpy
+        # arguments on EVERY call, and the param tree (~45 MB for the
+        # flagship) through the relay costs ~0.9 s/request — measured as
+        # a 906 ms batch-1 p50 before this device_put (BENCH_ALL_r04's
+        # first serving run). Per-request traffic is now just the
+        # features + ids batch and the [B] prediction fetch.
+        self.params = jax.device_put(self.params)
+        self._extra = jax.device_put(self._extra)
+        # f32 feature requests upload at the model's 16-bit compute width
+        # (the model casts on arrival anyway — identical math, half the
+        # per-request host->device bytes; 103 MB/request at batch 64).
+        # uint8 image requests (vqa_end2end) are already minimal.
+        from vqa_transfer_externaldata_tpu.ops.layers import dtype_of
+        import jax.numpy as jnp
+        import ml_dtypes
+
+        self._vis_cast = (ml_dtypes.bfloat16
+                          if dtype_of(self.cfg.model.dtype) == jnp.bfloat16
+                          else None)
         self._apply = jax.jit(self._forward)
         log.info("predictor ready: %s (%s), batch %d", train_dir,
                  self.cfg.model.model, batch_size)
@@ -105,6 +124,9 @@ class Predictor:
             if pad:
                 v = np.concatenate([v, np.repeat(v[:1], pad, 0)])
                 q = np.concatenate([q, np.repeat(q[:1], pad, 0)])
+            if self._vis_cast is not None \
+                    and v.dtype in (np.float32, np.float64):
+                v = v.astype(self._vis_cast)
             out = np.asarray(jax.device_get(self._apply(self.params, v, q)))
             preds[start:end] = out[: end - start]
         return preds
