@@ -256,10 +256,16 @@ def bench_end2end_ingest(on_tpu: bool) -> dict:
 
     # (b) host decode rate, per core: the native decoder threads over the
     # batch in C++, but this box has one core — state the per-core rate.
+    # decode_jpeg_batch returns None when the native library isn't built;
+    # timing that no-op would report a absurd multi-million img/s "rate",
+    # so the row carries null instead (native_decoder: false names why).
     decode = native.decode_jpeg_batch(paths, size)
-    t0 = time.perf_counter()
-    native.decode_jpeg_batch(paths, size)
-    decode_rate = n_imgs / (time.perf_counter() - t0)
+    if decode is not None:
+        t0 = time.perf_counter()
+        native.decode_jpeg_batch(paths, size)
+        decode_rate = round(n_imgs / (time.perf_counter() - t0), 1)
+    else:
+        decode_rate = None
 
     n_q = window * n_windows * batch
     arrays = {
@@ -285,7 +291,7 @@ def bench_end2end_ingest(on_tpu: bool) -> dict:
     host_cores = os.cpu_count() or 1
     return {"images_per_sec_per_chip_with_ingest": stats["value"],
             "windows": stats["windows_qps_per_chip"],
-            "host_decode_imgs_per_sec": round(decode_rate, 1),
+            "host_decode_imgs_per_sec": decode_rate,
             "host_cores": host_cores,
             "native_decoder": decode is not None,
             "batch_size": batch, "image_size": size}
@@ -370,11 +376,17 @@ def main() -> None:
     if only and os.path.exists(path):
         with open(path) as fh:
             out = {**json.load(fh), **out}
-    for name, fn in [("stage1_vlmap_train", bench_stage1_vlmap),
-                     ("resident_full_split_eval", bench_resident_eval),
-                     ("end2end_raw_image_train_step", bench_end2end_step),
-                     ("end2end_with_ingest", bench_end2end_ingest),
-                     ("serving_predictor_latency", bench_serving)]:
+    rows = [("stage1_vlmap_train", bench_stage1_vlmap),
+            ("resident_full_split_eval", bench_resident_eval),
+            ("end2end_raw_image_train_step", bench_end2end_step),
+            ("end2end_with_ingest", bench_end2end_ingest),
+            ("serving_predictor_latency", bench_serving)]
+    unknown = only - {n for n, _ in rows}
+    if unknown:  # a typo would otherwise silently re-header stale rows
+        raise SystemExit(
+            f"BENCH_ALL_ONLY names unknown rows {sorted(unknown)}; "
+            f"known: {sorted(n for n, _ in rows)}")
+    for name, fn in rows:
         if only and name not in only:
             continue
         _note(f"{name}: starting")

@@ -560,3 +560,28 @@ def test_prenormalize_store_matches_naive_sequence():
     assert s == s_want
     np.testing.assert_array_equal(q, pad_store_rows(q_want))
     assert q.shape[1] % 32 == 0
+
+
+def test_prenormalize_store_never_mutates_source():
+    """An f32 source must survive prenormalize_store untouched: the chunk
+    slices alias the source under ``np.asarray``, and the original
+    in-place normalize corrupted the caller's feature store (the trainer
+    passes ``ds.store.grid`` directly — a dataset-owned, possibly
+    read-only array). Pins f32 (aliasing dtype), the read-only case, and
+    all three passes (plain / out_dtype / int8)."""
+    from vqa_transfer_externaldata_tpu.ops.attention_resident import (
+        prenormalize_store)
+    import ml_dtypes
+
+    rng = np.random.default_rng(7)
+    M, N, C = 5, 12, 64
+    grid = (rng.normal(size=(M, N, C)) * 3).astype(np.float32)
+    orig = grid.copy()
+    prenormalize_store(grid, chunk_bytes=N * C * 4 * 2)
+    prenormalize_store(grid, out_dtype=ml_dtypes.bfloat16)
+    prenormalize_store(grid, quantize="int8", chunk_bytes=N * C * 4 * 2)
+    np.testing.assert_array_equal(grid, orig)
+
+    grid.setflags(write=False)  # np.load(..., mmap_mode='r') analogue
+    out, scale = prenormalize_store(grid)
+    assert scale == 1.0 and out.shape[1] % 8 == 0

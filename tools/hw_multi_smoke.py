@@ -1,3 +1,14 @@
+"""On-chip smoke for the G-glimpse resident attention kernels (run
+manually on the real TPU: ``python tools/hw_multi_smoke.py``).
+
+Compiles the G=2 fused fwd+bwd through Mosaic, checks the forward against
+the gathered spatial_attention_multi oracle (rel err + argmax agreement),
+and times 20 fwd+bwd calls. Interpret-mode parity lives in
+tests/test_attention_resident.py; this script is the hardware-lowering
+check those tests can't do (Mosaic enforces constraints interpret mode
+ignores — see .claude/skills/verify/SKILL.md). Round-4 result recorded in
+SURVEY.md section 11 (multi-glimpse kernels tested + gated).
+"""
 import numpy as np, jax, jax.numpy as jnp, time
 from vqa_transfer_externaldata_tpu.ops.attention_resident import (
     pad_store_rows, spatial_attention_resident)

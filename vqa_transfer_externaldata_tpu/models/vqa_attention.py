@@ -101,18 +101,21 @@ class VQAAttentionModel(nn.Module):
         # ~0.03 ms/step at B=256 — BASELINE.md step tail). Same params,
         # same math: scatter-add order is immaterial.
         mask = (q_ids != PAD_ID).astype(jnp.float32)
-        words_tm = WordEmbedding(self.vocab_size, self.word_dim,
-                                 init_matrix=self.word_init, dtype=dt,
-                                 name="word_emb")(q_ids.T)  # [T, B, D]
+        emb = WordEmbedding(self.vocab_size, self.word_dim,
+                            init_matrix=self.word_init, dtype=dt,
+                            name="word_emb")
         if self.rnn_variant == "tf":
             from vqa_transfer_externaldata_tpu.ops.gru import TFGRUEncoder
 
+            # TFGRUEncoder consumes batch-major [B, T, D]; look the ids up
+            # batch-major — a time-major lookup here would reintroduce the
+            # exact activation relayout the transposed lookup below avoids.
             q = TFGRUEncoder(self.rnn_dim, dtype=dt, name="gru")(
-                jnp.swapaxes(words_tm, 0, 1), mask)
+                emb(q_ids), mask)
         else:
             q = GRUEncoder(self.rnn_dim, dtype=dt,
                            use_pallas=self.use_pallas, time_major=True,
-                           name="gru")(words_tm, mask)
+                           name="gru")(emb(q_ids.T), mask)  # [T, B, D]
 
         # --- single-glimpse spatial attention (fused Pallas kernel; the
         # per-cell L2 normalization is fused into the op) ----------------

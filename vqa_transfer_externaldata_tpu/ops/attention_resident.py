@@ -91,13 +91,17 @@ def prenormalize_store(grid: np.ndarray, out_dtype=None,
     ``quantize_store`` of the full normalized array, with no full-size
     f32 intermediate. Returns ``(padded store, scale)`` (scale 1.0 when
     not quantizing). Normalization math matches the kernels' f32
-    ``rsqrt(ssq + 1e-12)`` convention exactly."""
+    ``rsqrt(ssq + 1e-12)`` convention exactly. The source is never
+    mutated (``astype`` copies each chunk — an f32 source would alias
+    under ``asarray`` and the in-place normalize would corrupt the
+    caller's feature store; tests/test_attention_resident.py pins
+    this)."""
     M, N, C = grid.shape
     rows = max(1, chunk_bytes // max(N * C * 4, 1))
     if quantize == "int8":
         gmax = 0.0
         for lo in range(0, M, rows):
-            g32 = np.asarray(grid[lo:lo + rows], np.float32)
+            g32 = grid[lo:lo + rows].astype(np.float32)
             ssq = np.sum(np.square(g32), axis=-1, keepdims=True)
             g32 *= 1.0 / np.sqrt(ssq + 1e-12)
             gmax = max(gmax, float(np.max(np.abs(g32))))
@@ -105,7 +109,7 @@ def prenormalize_store(grid: np.ndarray, out_dtype=None,
         Np = N + (-N) % 32  # int8 sublane tile (pad_store_rows)
         out = np.zeros((M, Np, C), np.int8)
         for lo in range(0, M, rows):
-            g32 = np.asarray(grid[lo:lo + rows], np.float32)
+            g32 = grid[lo:lo + rows].astype(np.float32)
             ssq = np.sum(np.square(g32), axis=-1, keepdims=True)
             g32 *= 1.0 / np.sqrt(ssq + 1e-12)
             out[lo:lo + rows, :N] = np.clip(
@@ -114,7 +118,7 @@ def prenormalize_store(grid: np.ndarray, out_dtype=None,
     Np = N + (-N) % 8
     out = np.zeros((M, Np, C), out_dtype or grid.dtype)
     for lo in range(0, M, rows):
-        g32 = np.asarray(grid[lo:lo + rows], np.float32)
+        g32 = grid[lo:lo + rows].astype(np.float32)
         ssq = np.sum(np.square(g32), axis=-1, keepdims=True)
         g32 *= 1.0 / np.sqrt(ssq + 1e-12)
         out[lo:lo + rows, :N] = g32.astype(out.dtype)

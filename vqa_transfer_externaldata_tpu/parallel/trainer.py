@@ -714,7 +714,10 @@ class Trainer:
         pending_eval: list = []  # [(boundary stepno, dispatch handle)]
 
         def collect_eval() -> None:
-            at, handle = pending_eval.pop()
+            # FIFO: the trigger guards below read pending_eval[0], so the
+            # collect must drain the head (with the at-most-one-in-flight
+            # invariant they coincide; pop(0) keeps the order structural).
+            at, handle = pending_eval.pop(0)
             eval_metrics, _ = resident_eval_fn().collect(handle)
             self.metrics.write(at, eval_metrics, prefix="val")
             log.info("eval @ %d: %s", at,
