@@ -34,3 +34,52 @@ def test_json_serialization():
     d = cfg.to_dict()
     assert d["train"]["seed"] == 123
     assert "bfloat16" in cfg.to_json()
+
+
+def test_maybe_initialize_distributed_gate(monkeypatch):
+    """--mesh.distributed: auto only fires when a coordinator/pod env is
+    visible; on always fires; off never; idempotent within a process.
+    (The real 2-process runtime is exercised by test_multiprocess.py —
+    this pins the CLI gate's decision logic without starting one.)"""
+    import jax
+
+    from vqa_transfer_externaldata_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    for var in mesh_mod._COORDINATOR_ENV_VARS:
+        monkeypatch.delenv(var, raising=False)
+    # A single-host TPU VM (incl. this box) sets TPU_WORKER_HOSTNAMES to
+    # ONE hostname — that must not trigger auto; multiple workers must.
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setattr(mesh_mod, "_dist_initialized", False)
+
+    assert mesh_mod.maybe_initialize_distributed("off") is False
+    assert mesh_mod.maybe_initialize_distributed("auto") is False  # no env
+    assert calls == []
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    assert mesh_mod.maybe_initialize_distributed("auto") is True
+    assert calls == [1]
+    monkeypatch.setattr(mesh_mod, "_dist_initialized", False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    calls.clear()
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    assert mesh_mod.maybe_initialize_distributed("auto") is True
+    assert calls == [1]
+    # idempotent: a second CLI call in the same process is a no-op
+    assert mesh_mod.maybe_initialize_distributed("auto") is False
+    assert mesh_mod.maybe_initialize_distributed("on") is False
+    assert calls == [1]
+
+    monkeypatch.setattr(mesh_mod, "_dist_initialized", False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+    assert mesh_mod.maybe_initialize_distributed("on") is True
+    assert calls == [1, 1]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="auto|on|off"):
+        mesh_mod.maybe_initialize_distributed("yes")

@@ -26,6 +26,8 @@ from vqa_transfer_externaldata_tpu.cli.common import (
 from vqa_transfer_externaldata_tpu.config import Config
 from vqa_transfer_externaldata_tpu.data.datasets import load_dataset
 from vqa_transfer_externaldata_tpu.parallel.evaler import padded_batches
+from vqa_transfer_externaldata_tpu.parallel.mesh import (
+    maybe_initialize_distributed)
 from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
 from vqa_transfer_externaldata_tpu.utils.checkpoint import (
     load_params, save_params, transfer_init)
@@ -34,6 +36,7 @@ from vqa_transfer_externaldata_tpu.utils.logging import log
 
 def main(argv: Optional[Sequence[str]] = None) -> str:
     cfg = Config.from_args(argv)
+    maybe_initialize_distributed(cfg.mesh.distributed)
     spec, word_vocab, answer_vocab = build_spec(cfg)
     train_dir = resolve_train_dir(cfg, spec.stage)
     os.makedirs(train_dir, exist_ok=True)

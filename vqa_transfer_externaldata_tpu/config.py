@@ -234,6 +234,13 @@ class MeshConfig:
     model_axis: str = "model"
     num_data: int = -1  # -1: all visible devices on the data axis
     num_model: int = 1
+    # Multi-host: whether CLI entrypoints start the JAX distributed
+    # runtime (jax.distributed.initialize) before the first device query.
+    # "auto" initializes only when a coordinator/pod environment is
+    # visible (JAX_COORDINATOR_ADDRESS / TPU_WORKER_HOSTNAMES / ...);
+    # "on" always; "off" never. See parallel.mesh
+    # .maybe_initialize_distributed.
+    distributed: str = "auto"
     # Comma-separated param-path substrings to shard row-wise (dim 0) over
     # the model axis — tensor parallelism for the big embedding/classifier
     # tables (e.g. "answer_embedding,word_emb"). A matching table whose

@@ -20,6 +20,61 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vqa_transfer_externaldata_tpu.config import Config
 
+# Environment markers that identify a multi-host launch. JAX's own no-arg
+# ``jax.distributed.initialize()`` auto-detects its coordinator on Cloud
+# TPU pods (worker hostnames in the TPU metadata) and from the explicit
+# coordinator variables used by launchers/tests.
+_COORDINATOR_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",       # explicit (jax.distributed docs)
+    "COORDINATOR_ADDRESS",           # common launcher convention
+    "MEGASCALE_COORDINATOR_ADDRESS",  # multislice
+)
+_dist_initialized = False
+
+
+def _multihost_env() -> bool:
+    import os
+
+    if any(os.environ.get(v) for v in _COORDINATOR_ENV_VARS):
+        return True
+    # Cloud TPU pod metadata: a single-host TPU VM also sets this (to its
+    # own hostname — the axon box exports "localhost"), so it signals
+    # multi-host only when it names MORE THAN ONE worker.
+    return "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+
+
+def maybe_initialize_distributed(mode: str = "auto") -> bool:
+    """Initialize the JAX distributed runtime for multi-host runs.
+
+    The reference is single-process with no distributed layer (SURVEY.md
+    section 2); the rebuild's multi-host paths — per-process epoch shards
+    (``batches(shard=)``), per-process sharded-store block uploads, the
+    evaluators' ``process_allgather``, multi-host async Orbax — all sit on
+    ``jax.distributed``, which is NOT started automatically. The train and
+    eval entrypoints call this before their first device query
+    (``--mesh.distributed``):
+
+    - ``auto`` (default): call ``jax.distributed.initialize()`` iff a
+      coordinator/pod environment is visible (one process on one host —
+      every test/bench on this box — stays exactly as before);
+    - ``on``: always call it (no-arg autodetection);
+    - ``off``: never.
+
+    Idempotent across CLIs in one process. Returns whether the runtime
+    was initialized by this call.
+    """
+    global _dist_initialized
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"mesh.distributed must be auto|on|off, "
+                         f"got {mode!r}")
+    if mode == "off" or _dist_initialized:
+        return False
+    if mode == "auto" and not _multihost_env():
+        return False
+    jax.distributed.initialize()
+    _dist_initialized = True
+    return True
+
 
 def create_mesh(cfg: Optional[Config] = None,
                 devices: Optional[Sequence[Any]] = None) -> Mesh:
