@@ -427,6 +427,10 @@ def main() -> None:
         # float32 keeps the headline exact-math.
         "train.adam_mu_dtype":
             os.environ.get("BENCH_MU_DTYPE", "float32"),
+        # BENCH_MODEL benches another registry model through the same
+        # harness/corpus (e.g. vqa_attention2: the G=2 multi-glimpse
+        # resident path). Default stays the headline single-glimpse model.
+        "model.model": os.environ.get("BENCH_MODEL", "vqa_attention"),
     }
     if os.environ.get("BENCH_PROFILE"):
         overrides["train.profile_start"] = window  # skip the compile window
