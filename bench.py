@@ -119,6 +119,7 @@ _t0 = time.time()
 # the newest parsable stdout line must get the final record) and (b) the
 # watchdog's os._exit can never truncate the final line mid-print.
 _EMIT_LOCK = threading.Lock()
+_WD = None  # the live _Watchdog, for the __main__ exception emitter
 
 
 def _note(msg: str) -> None:
@@ -361,7 +362,8 @@ def main() -> None:
     watchdog = int(os.environ.get("BENCH_WATCHDOG_SECS", str(wd_default)))
     hard_exit = int(os.environ.get("BENCH_HARD_EXIT_SECS",
                                    str(hard_default)))
-    wd = _Watchdog(watchdog, hard_exit, grace)
+    global _WD
+    wd = _WD = _Watchdog(watchdog, hard_exit, grace)
     wd.start()
     _note(f"start: backend probe next; watchdog={watchdog}s "
           f"(hard exit {hard_exit}s)")
@@ -546,4 +548,27 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:
+        # A mid-run EXCEPTION (e.g. a relay incident surfacing as a TPU
+        # backend error, as measured 2026-08-20: FailedPrecondition after
+        # ~600 s in init_state) must still leave one parsable JSON line
+        # on stdout — rc!=0 with NO line is the one outcome the driver
+        # can't classify. The watchdog covers time-based stalls only; it
+        # never fires for a fast-raising failure.
+        import traceback
+
+        traceback.print_exc()
+        wd = _WD
+        with _EMIT_LOCK:
+            if wd is None:
+                _emit(None, 1, 256, partial=True,
+                      status=f"error:{type(e).__name__}")
+            elif not wd.done.is_set():
+                wd.done.set()
+                _emit(wd.train_dir, wd.n_chips, wd.batch_size,
+                      partial=True, status=f"error:{type(e).__name__}")
+        sys.exit(1)
