@@ -185,3 +185,27 @@ def test_traced_steps_matches_dispatch_boundaries(start, prof, k,
     (start at first boundary in [start, until), stop at first boundary
     >= until or at max_steps — trainer.fit_resident)."""
     assert bench._traced_steps(start, start + prof, k, max_steps) == expect
+
+
+def test_exception_still_emits_json_line():
+    """A mid-run EXCEPTION (a relay incident surfacing as a backend error
+    — measured 2026-08-20: FailedPrecondition after ~600 s, rc=1, EMPTY
+    stdout) must leave one parsable JSON line: the watchdog only covers
+    time-based stalls, so the __main__ guard owns this path. Driven as a
+    real subprocess through the fast pre-watchdog failure (a bogus
+    BENCH_STORE_GB raises before any backend/dataset work)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, BENCH_FORCE_CPU="1", BENCH_STORE_GB="bogus")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(bench.__file__),
+                                      "bench.py")],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 1
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1, proc.stdout
+    out = json.loads(lines[0])
+    assert out["partial"] is True
+    assert out["status"].startswith("error:ValueError")
+    assert out["metric"] == "vqa_e2e_train_questions_per_sec_per_chip_b256"
