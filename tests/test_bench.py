@@ -191,9 +191,11 @@ def test_exception_still_emits_json_line():
     """A mid-run EXCEPTION (a relay incident surfacing as a backend error
     — measured 2026-08-20: FailedPrecondition after ~600 s, rc=1, EMPTY
     stdout) must leave one parsable JSON line: the watchdog only covers
-    time-based stalls, so the __main__ guard owns this path. Driven as a
-    real subprocess through the fast pre-watchdog failure (a bogus
-    BENCH_STORE_GB raises before any backend/dataset work)."""
+    time-based stalls, so the child's exception guard owns this path.
+    Driven as a real subprocess through the full supervisor->child stack
+    (a bogus BENCH_STORE_GB raises in the child before any backend work);
+    a FAST failure must not be retried (it is a config error, not a relay
+    incident)."""
     import subprocess
     import sys
 
@@ -209,3 +211,204 @@ def test_exception_still_emits_json_line():
     assert out["partial"] is True
     assert out["status"].startswith("error:ValueError")
     assert out["metric"] == "vqa_e2e_train_questions_per_sec_per_chip_b256"
+    assert out["attempts"] == 1  # fast config error: no retry
+
+
+# ---------------------------------------------------------------------------
+# Supervisor (round-5): a relay outage stalling one process must not void
+# the artifact — BENCH_r04 spent its whole 920 s budget stalled in
+# init_state while runs minutes later landed fine. These tests drive
+# bench.supervise() against real fake-child subprocesses at second-scale
+# (the time knobs exist for exactly this).
+# ---------------------------------------------------------------------------
+
+import sys
+import textwrap
+
+
+def _fake_child(tmp_path, body: str) -> list:
+    """Write a fake measurement child; returns the child_cmd for
+    supervise(). The child sees BENCH_STATUS_FILE like the real one."""
+    script = tmp_path / "fake_child.py"
+    script.write_text(textwrap.dedent("""\
+        import json, os, sys, time
+        def status(stage, train_dir=None, n_chips=1, batch_size=256):
+            with open(os.environ["BENCH_STATUS_FILE"], "w") as fh:
+                json.dump({"stage": stage, "train_dir": train_dir,
+                           "n_chips": n_chips, "batch_size": batch_size,
+                           "t": time.time()}, fh)
+        def windows(train_dir, qps):
+            os.makedirs(train_dir, exist_ok=True)
+            with open(os.path.join(train_dir, "metrics.jsonl"), "w") as fh:
+                for q in qps:
+                    fh.write(json.dumps(
+                        {"train/questions_per_sec": q}) + "\\n")
+    """) + textwrap.dedent(body))
+    return [sys.executable, str(script)]
+
+
+def _supervise_knobs(monkeypatch, **kw):
+    # Generous second-scale knobs: this box is 1-CPU and often contended —
+    # a fake child's interpreter startup alone was observed taking >2 s.
+    defaults = {"BENCH_HARD_EXIT_SECS": "60", "BENCH_STALL_KILL_SECS": "6",
+                "BENCH_MIN_RETRY_SECS": "1", "BENCH_MIN_ATTEMPT_SECS": "1",
+                "BENCH_KILL_MARGIN_SECS": "30", "BENCH_MAX_ATTEMPTS": "2",
+                "BENCH_ERROR_RETRY_AFTER_SECS": "60"}
+    defaults.update(kw)
+    for k, v in defaults.items():
+        monkeypatch.setenv(k, str(v))
+
+
+def test_supervisor_retries_stalled_child(monkeypatch, capfd, tmp_path):
+    """Attempt 1 stalls in init_state with zero windows (the BENCH_r04
+    failure shape) -> killed at the stall budget; attempt 2 (a fresh
+    process) finishes clean -> its final line wins, with the retry
+    recorded in the artifact."""
+    _supervise_knobs(monkeypatch)
+    marker = tmp_path / "attempt1_ran"
+    cmd = _fake_child(tmp_path, f"""
+        marker = {str(marker)!r}
+        train_dir = {str(tmp_path / 'td2')!r}
+        if not os.path.exists(marker):      # attempt 1: the r04 stall
+            open(marker, "w").close()
+            status("init_state")
+            time.sleep(60)
+        windows(train_dir, [1000.0, 90000.0, 91000.0, 92000.0, 93000.0])
+        status("fit_resident", train_dir)
+        print(json.dumps({{"metric": "m", "value": 91500.0, "status": "ok",
+                           "partial": False,
+                           "windows_qps_per_chip": [90000.0, 91000.0,
+                                                    92000.0, 93000.0]}}),
+              flush=True)
+    """)
+    rc = bench.supervise(child_cmd=cmd)
+    assert rc == 0
+    out = _drain_emits(capfd)
+    assert len(out) == 1, "supervisor must print exactly one line"
+    final = out[-1]
+    assert final["status"] == "ok"
+    assert final["partial"] is False
+    assert final["attempts"] == 2
+    assert final["stall_kills"] == 1
+    assert final["value"] == pytest.approx(91500.0)
+
+
+def test_supervisor_salvages_windows_from_killed_child(monkeypatch, capfd,
+                                                       tmp_path):
+    """Relay recovery arriving late: the child produced windows but never
+    printed a line before the deadline kill -> the supervisor summarizes
+    metrics.jsonl itself and emits an ok line (value from the steady
+    windows, compile window dropped)."""
+    _supervise_knobs(monkeypatch, BENCH_HARD_EXIT_SECS="6",
+                     BENCH_KILL_MARGIN_SECS="2", BENCH_MAX_ATTEMPTS="1")
+    cmd = _fake_child(tmp_path, f"""
+        train_dir = {str(tmp_path / 'td')!r}
+        windows(train_dir, [1000.0, 2000.0, 2200.0, 2400.0])
+        status("fit_resident", train_dir)
+        time.sleep(60)                       # never prints, never exits
+    """)
+    rc = bench.supervise(child_cmd=cmd)
+    assert rc == 0
+    final = _drain_emits(capfd)[-1]
+    assert final["status"] == "ok"
+    assert final["partial"] is True
+    # steady = [2000, 2200, 2400] (short list: plain mean, no trim)
+    assert final["value"] == pytest.approx(2200.0)
+
+
+def test_supervisor_retries_late_error(monkeypatch, capfd, tmp_path):
+    """An error raised past BENCH_ERROR_RETRY_AFTER_SECS looks like a
+    relay incident (measured FailedPrecondition ~600 s in) -> retried in
+    a fresh process; the same error raised instantly is a config error ->
+    single attempt (covered by test_exception_still_emits_json_line)."""
+    _supervise_knobs(monkeypatch, BENCH_ERROR_RETRY_AFTER_SECS="1",
+                     BENCH_STALL_KILL_SECS="30")
+    marker = tmp_path / "attempt1_ran"
+    cmd = _fake_child(tmp_path, f"""
+        marker = {str(marker)!r}
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            status("init_state")
+            time.sleep(2.0)                  # "late" under the test knob
+            print(json.dumps({{"metric": "m", "value": 0.0, "partial": True,
+                               "status": "error:FailedPrecondition",
+                               "windows_qps_per_chip": []}}), flush=True)
+            sys.exit(1)
+        train_dir = {str(tmp_path / 'td2')!r}
+        windows(train_dir, [1000.0, 88000.0, 89000.0])
+        status("fit_resident", train_dir)
+        print(json.dumps({{"metric": "m", "value": 88500.0, "status": "ok",
+                           "partial": False,
+                           "windows_qps_per_chip": [88000.0, 89000.0]}}),
+              flush=True)
+    """)
+    rc = bench.supervise(child_cmd=cmd)
+    assert rc == 0
+    final = _drain_emits(capfd)[-1]
+    assert final["status"] == "ok"
+    assert final["attempts"] == 2
+    assert final["value"] == pytest.approx(88500.0)
+
+
+def test_supervisor_all_attempts_stalled(monkeypatch, capfd, tmp_path):
+    """Relay down the whole budget: attempt 1 stall-killed, the FINAL
+    attempt rides to the deadline (riding out is strictly better than a
+    retry that cannot finish); the artifact still carries one parsable
+    zero-window line with the retry evidence, rc=0 (value 0.0 = 'not
+    measured', never 'measured zero')."""
+    _supervise_knobs(monkeypatch, BENCH_HARD_EXIT_SECS="10",
+                     BENCH_KILL_MARGIN_SECS="1")
+    cmd = _fake_child(tmp_path, """
+        status("init_state")
+        time.sleep(60)
+    """)
+    rc = bench.supervise(child_cmd=cmd)
+    assert rc == 0
+    final = _drain_emits(capfd)[-1]
+    assert final["value"] == 0.0
+    assert final["attempts"] == 2
+    assert final["stall_kills"] == 1  # the final attempt is never
+    #                                   stall-killed, only deadline-killed
+    assert final["status"] in ("stalled_at_spawn", "stalled_at_init_state",
+                               "no_windows_yet_cold_start")
+
+
+def test_summarize_keeps_raw_windows_when_merging():
+    """ADVICE r04: a stale-ceiling merge of honest windows must stay
+    auditable from the artifact alone — the pre-merge raw windows ride
+    along whenever any merge happened."""
+    ceiling = 92.4e3
+    s = bench._summarize([1.0, 1056.9, 2328264.6, 93884.1], 1,
+                         ceiling=ceiling)
+    assert s["impossible_windows_merged"] == 1
+    assert s["windows_qps_per_chip_raw"] == [1056.9, 2328264.6, 93884.1]
+    # clean run: no raw duplicate bloating the line
+    s = bench._summarize([1.0, 88e3, 90e3, 91e3], 1, ceiling=ceiling)
+    assert "windows_qps_per_chip_raw" not in s
+
+
+def test_profiled_step_artifact_roundtrip(monkeypatch, tmp_path):
+    """The merge-bound ceiling is DERIVED from the committed artifact
+    (refreshed by BENCH_PROFILE runs), keyed by model+variant; the
+    in-code constant is only the missing-artifact fallback."""
+    fake = tmp_path / "bench_profiled_step.json"
+    monkeypatch.setattr(bench, "PROFILED_STEP_FILE", str(fake))
+    ms, src = bench._profiled_step_ms()
+    assert (ms, src) == (bench.DEVICE_STEP_MS_PROFILED,
+                         "fallback_constant")
+    bench._record_profiled_step(2.345)
+    ms, src = bench._profiled_step_ms()
+    assert (ms, src) == (2.345, "artifact")
+    # another variant does not shadow the flagship entry
+    monkeypatch.setenv("BENCH_MODEL", "vqa_attention2")
+    assert bench._variant_key() == "vqa_attention2"
+    ms, src = bench._profiled_step_ms()
+    assert src == "fallback_constant"
+    bench._record_profiled_step(3.05)
+    assert bench._profiled_step_ms() == (3.05, "artifact")
+    monkeypatch.delenv("BENCH_MODEL")
+    assert bench._profiled_step_ms() == (2.345, "artifact")
+    # the variant key folds in the numerics knobs
+    monkeypatch.setenv("BENCH_QUANT", "int8")
+    monkeypatch.setenv("BENCH_MU_DTYPE", "bfloat16")
+    assert bench._variant_key() == "vqa_attention+int8+mu_bfloat16"
