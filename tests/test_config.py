@@ -83,3 +83,46 @@ def test_maybe_initialize_distributed_gate(monkeypatch):
 
     with pytest.raises(ValueError, match="auto|on|off"):
         mesh_mod.maybe_initialize_distributed("yes")
+
+
+def test_initialize_distributed_explicit_coordinator(monkeypatch):
+    """--mesh.coordinator_address/num_processes/process_id flow through to
+    jax.distributed.initialize for launchers JAX cannot autodetect
+    (round-4 ADVICE: 'on' had no path to pass one); an explicit
+    coordinator alone also flips auto on; defaults are OMITTED so JAX's
+    autodetection still covers anything not given."""
+    import jax
+
+    from vqa_transfer_externaldata_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    for var in mesh_mod._COORDINATOR_ENV_VARS:
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setattr(mesh_mod, "_dist_initialized", False)
+
+    # explicit coordinator: auto fires and every given field is passed
+    assert mesh_mod.maybe_initialize_distributed(
+        "auto", coordinator_address="10.0.0.1:8476",
+        num_processes=4, process_id=2) is True
+    assert calls == [{"coordinator_address": "10.0.0.1:8476",
+                      "num_processes": 4, "process_id": 2}]
+
+    # defaults are omitted entirely ("on" + autodetection)
+    monkeypatch.setattr(mesh_mod, "_dist_initialized", False)
+    calls.clear()
+    assert mesh_mod.maybe_initialize_distributed("on") is True
+    assert calls == [{}]
+
+    # the CLI glue threads the --mesh.* overrides through
+    monkeypatch.setattr(mesh_mod, "_dist_initialized", False)
+    calls.clear()
+    cfg = Config.from_args([
+        "--mesh.distributed", "auto",
+        "--mesh.coordinator_address", "h0:1234",
+        "--mesh.num_processes", "2", "--mesh.process_id", "1"])
+    assert mesh_mod.initialize_distributed_from(cfg) is True
+    assert calls == [{"coordinator_address": "h0:1234",
+                      "num_processes": 2, "process_id": 1}]

@@ -34,6 +34,22 @@ def test_predictor_answers(tmp_path):
     pred2 = Predictor(d, batch_size=8)
     assert answers == pred2.answer(feats, questions)
 
+    # submit/result pipelining (round-5): two requests in flight, results
+    # stay ordered and identical to the serial path
+    feats_b = rng.normal(size=(5, n_cells, 16)).astype(np.float32)
+    questions_b = ["w6 w7", "w9", "w10 w11", "w12", "w13 w14"]
+    h1 = pred.submit(feats, questions)
+    h2 = pred.submit(feats_b, questions_b)
+    assert pred.result(h1) == answers
+    assert pred.result(h2) == pred.answer(feats_b, questions_b)
+
+    # pre-staged device features (skip the per-request upload) answer
+    # identically, including the padded tail chunk
+    import jax
+
+    dev_feats = jax.device_put(feats)
+    assert pred.answer(dev_feats, questions) == answers
+
 
 def test_predict_cli_with_feature_store(tmp_path):
     from vqa_transfer_externaldata_tpu.data.features import extract_features

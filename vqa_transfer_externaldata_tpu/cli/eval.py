@@ -20,7 +20,7 @@ import jax
 from vqa_transfer_externaldata_tpu.cli.common import build_spec
 from vqa_transfer_externaldata_tpu.config import Config
 from vqa_transfer_externaldata_tpu.parallel.mesh import (
-    maybe_initialize_distributed)
+    initialize_distributed_from)
 from vqa_transfer_externaldata_tpu.data.datasets import load_dataset
 from vqa_transfer_externaldata_tpu.parallel.evaler import evaluate_split
 from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
@@ -47,7 +47,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         cfg = Config().replace_flat(flat)
         cfg = _apply_explicit(cfg, rest)
         cfg = cfg.replace_flat({"train.train_dir": train_dir})
-    maybe_initialize_distributed(cfg.mesh.distributed)
+    initialize_distributed_from(cfg)
 
     spec, word_vocab, answer_vocab = build_spec(cfg)
     ds = load_dataset(cfg, eargs.eval_split, stage=spec.stage)

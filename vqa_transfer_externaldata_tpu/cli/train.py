@@ -27,7 +27,7 @@ from vqa_transfer_externaldata_tpu.config import Config
 from vqa_transfer_externaldata_tpu.data.datasets import load_dataset
 from vqa_transfer_externaldata_tpu.parallel.evaler import padded_batches
 from vqa_transfer_externaldata_tpu.parallel.mesh import (
-    maybe_initialize_distributed)
+    initialize_distributed_from)
 from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
 from vqa_transfer_externaldata_tpu.utils.checkpoint import (
     load_params, save_params, transfer_init)
@@ -36,7 +36,7 @@ from vqa_transfer_externaldata_tpu.utils.logging import log
 
 def main(argv: Optional[Sequence[str]] = None) -> str:
     cfg = Config.from_args(argv)
-    maybe_initialize_distributed(cfg.mesh.distributed)
+    initialize_distributed_from(cfg)
     spec, word_vocab, answer_vocab = build_spec(cfg)
     train_dir = resolve_train_dir(cfg, spec.stage)
     os.makedirs(train_dir, exist_ok=True)

@@ -241,6 +241,15 @@ class MeshConfig:
     # "on" always; "off" never. See parallel.mesh
     # .maybe_initialize_distributed.
     distributed: str = "auto"
+    # Explicit coordinator for launchers JAX cannot autodetect (round-4
+    # ADVICE: "on" had no path to pass one): host:port of process 0, the
+    # total process count, and this process's id. Defaults defer to JAX's
+    # autodetection (Cloud TPU pod metadata / the env vars above); any
+    # non-default value is passed through to jax.distributed.initialize,
+    # and coordinator_address alone also flips "auto" on.
+    coordinator_address: str = ""
+    num_processes: int = -1
+    process_id: int = -1
     # Comma-separated param-path substrings to shard row-wise (dim 0) over
     # the model axis — tensor parallelism for the big embedding/classifier
     # tables (e.g. "answer_embedding,word_emb"). A matching table whose

@@ -189,12 +189,14 @@ def jpeg_available() -> bool:
     return _load_jpeg() is not None
 
 
-def decode_jpeg_batch(paths, size: int):
+def decode_jpeg_batch(paths, size: int, threads: Optional[int] = None):
     """Decode + resize a batch of JPEG files to [n, size, size, 3] uint8
     RGB with parallel C++ threads (the GIL is released for the whole
-    call). Returns ``(images, status)`` where ``status[i] != 0`` marks a
-    file the caller must decode itself (missing/corrupt/CMYK), or ``None``
-    when the native library is unavailable."""
+    call). ``threads`` pins the worker count (default: one per core, max
+    16) — the decode-scaling benchmark uses it to measure the per-core
+    rate directly. Returns ``(images, status)`` where ``status[i] != 0``
+    marks a file the caller must decode itself (missing/corrupt/CMYK), or
+    ``None`` when the native library is unavailable."""
     lib = _load_jpeg()
     if lib is None:
         return None
@@ -207,5 +209,5 @@ def decode_jpeg_batch(paths, size: int):
         c_paths, n, size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        min(16, os.cpu_count() or 1))
+        threads if threads else min(16, os.cpu_count() or 1))
     return out, status

@@ -43,7 +43,10 @@ def _multihost_env() -> bool:
     return "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
 
 
-def maybe_initialize_distributed(mode: str = "auto") -> bool:
+def maybe_initialize_distributed(mode: str = "auto",
+                                 coordinator_address: str = "",
+                                 num_processes: int = -1,
+                                 process_id: int = -1) -> bool:
     """Initialize the JAX distributed runtime for multi-host runs.
 
     The reference is single-process with no distributed layer (SURVEY.md
@@ -54,11 +57,19 @@ def maybe_initialize_distributed(mode: str = "auto") -> bool:
     eval entrypoints call this before their first device query
     (``--mesh.distributed``):
 
-    - ``auto`` (default): call ``jax.distributed.initialize()`` iff a
-      coordinator/pod environment is visible (one process on one host —
-      every test/bench on this box — stays exactly as before);
-    - ``on``: always call it (no-arg autodetection);
+    - ``auto`` (default): initialize iff a coordinator/pod environment is
+      visible (one process on one host — every test/bench on this box —
+      stays exactly as before) or an explicit ``coordinator_address`` was
+      passed;
+    - ``on``: always initialize;
     - ``off``: never.
+
+    The explicit ``coordinator_address``/``num_processes``/``process_id``
+    (``--mesh.coordinator_address`` etc.) exist for launchers JAX cannot
+    autodetect — without them, ``on`` outside a recognized pod
+    environment raises or hangs waiting for a coordinator (round-4
+    ADVICE). Defaults (empty / -1) are omitted so JAX's autodetection
+    still runs for anything not given.
 
     Idempotent across CLIs in one process. Returns whether the runtime
     was initialized by this call.
@@ -69,11 +80,27 @@ def maybe_initialize_distributed(mode: str = "auto") -> bool:
                          f"got {mode!r}")
     if mode == "off" or _dist_initialized:
         return False
-    if mode == "auto" and not _multihost_env():
+    if mode == "auto" and not (_multihost_env() or coordinator_address):
         return False
-    jax.distributed.initialize()
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes >= 0:
+        kwargs["num_processes"] = num_processes
+    if process_id >= 0:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
     _dist_initialized = True
     return True
+
+
+def initialize_distributed_from(cfg: Config) -> bool:
+    """CLI glue: :func:`maybe_initialize_distributed` with the
+    ``--mesh.*`` coordinator overrides threaded through."""
+    m = cfg.mesh
+    return maybe_initialize_distributed(
+        m.distributed, coordinator_address=m.coordinator_address,
+        num_processes=m.num_processes, process_id=m.process_id)
 
 
 def create_mesh(cfg: Optional[Config] = None,

@@ -111,31 +111,68 @@ class Predictor:
             ids[i], _ = self.word_vocab.encode(q, T)
         return ids
 
-    def _run_batched(self, visual: np.ndarray,
-                     q_ids: np.ndarray) -> np.ndarray:
+    def _dispatch_batched(self, visual, q_ids: np.ndarray) -> tuple:
+        """Pad/cast each chunk and enqueue its forward; returns
+        ``(device_handles, n)`` without waiting. Device-resident
+        ``visual`` (a ``jax.Array`` — pre-staged features, e.g. rows of a
+        resident store) skips the cast and the per-request host->device
+        feature upload entirely — the dominant serving cost through a
+        high-latency link (batch 64 ships 51 MB/request; BASELINE.md
+        serving row)."""
         n = q_ids.shape[0]
         bs = self.batch_size
-        preds = np.zeros((n,), np.int64)
+        on_device = isinstance(visual, jax.Array)
+        handles = []
         for start in range(0, n, bs):
             end = min(start + bs, n)
             pad = bs - (end - start)
             v = visual[start:end]
             q = q_ids[start:end]
             if pad:
-                v = np.concatenate([v, np.repeat(v[:1], pad, 0)])
+                if on_device:
+                    import jax.numpy as jnp
+
+                    v = jnp.concatenate([v, jnp.repeat(v[:1], pad, 0)])
+                else:
+                    v = np.concatenate([v, np.repeat(v[:1], pad, 0)])
                 q = np.concatenate([q, np.repeat(q[:1], pad, 0)])
-            if self._vis_cast is not None \
+            if not on_device and self._vis_cast is not None \
                     and v.dtype in (np.float32, np.float64):
                 v = v.astype(self._vis_cast)
-            out = np.asarray(jax.device_get(self._apply(self.params, v, q)))
-            preds[start:end] = out[: end - start]
-        return preds
+            handles.append(self._apply(self.params, v, q))
+        return handles, n
 
-    def answer(self, visual: np.ndarray,
-               questions: Sequence[str]) -> List[str]:
-        """``visual``: [N, grid_cells, C] features (vqa_attention),
-        [N, C] pool5 (vqa_baseline), or [N, S, S, 3] uint8 (vqa_end2end)."""
+    def _run_batched(self, visual, q_ids: np.ndarray) -> np.ndarray:
+        handles, n = self._dispatch_batched(visual, q_ids)
+        # One fetch per chunk AFTER every chunk is enqueued: chunk i's
+        # fetch overlaps chunk i+1's upload+compute on the device queue
+        # (the old per-chunk blocking loop serialized them).
+        outs = [np.asarray(jax.device_get(h)) for h in handles]
+        return np.concatenate(outs)[:n]
+
+    def submit(self, visual, questions: Sequence[str]):
+        """Enqueue a request; returns an opaque handle for :meth:`result`.
+
+        Pipelining surface: ``submit(N+1)`` before ``result(N)`` overlaps
+        request N+1's feature upload with request N's device execution
+        and result fetch — device execution is FIFO, so results stay
+        ordered. ``visual`` as for :meth:`answer`, or a device-resident
+        ``jax.Array`` to skip the upload."""
         q_ids = self._encode_questions(questions)
         assert visual.shape[0] == q_ids.shape[0]
-        preds = self._run_batched(np.asarray(visual), q_ids)
+        v = visual if isinstance(visual, jax.Array) else np.asarray(visual)
+        return self._dispatch_batched(v, q_ids)
+
+    def result(self, handle) -> List[str]:
+        """Fetch a :meth:`submit` handle and decode answer strings."""
+        handles, n = handle
+        outs = [np.asarray(jax.device_get(h)) for h in handles]
+        preds = np.concatenate(outs)[:n]
         return [self.answer_vocab.tokens[int(p)] for p in preds]
+
+    def answer(self, visual, questions: Sequence[str]) -> List[str]:
+        """``visual``: [N, grid_cells, C] features (vqa_attention),
+        [N, C] pool5 (vqa_baseline), or [N, S, S, 3] uint8 (vqa_end2end);
+        host numpy, or a device-resident ``jax.Array`` (pre-staged
+        features — skips the per-request upload)."""
+        return self.result(self.submit(visual, questions))
