@@ -640,6 +640,16 @@ def main() -> None:
                     ms["bytes_in_use"] / 2**30, 2)
         except Exception:
             pass
+        if os.environ.get("BENCH_HBM_PROBE"):
+            # memory_stats is unavailable through the relay, so the
+            # realistic-scale table's headroom was inferred, not read
+            # (VERDICT r04 weak #5): measure it by allocate-to-failure
+            # bisection — the largest single device-side jnp.zeros that
+            # still allocates next to the resident state. Gated: a
+            # deliberate OOM is not something the headline run should
+            # risk (allocator fragmentation on the shared relay).
+            wd.set_stage("hbm_probe")
+            extra["hbm_free_gb_measured"] = _probe_free_hbm()
     if os.environ.get("BENCH_PROFILE"):
         wd.set_stage("trace_summary")
         try:
@@ -665,6 +675,37 @@ def main() -> None:
     with _EMIT_LOCK:
         wd.done.set()
         _emit(train_dir, n_chips, batch_size, partial=False, extra=extra)
+
+
+def _probe_free_hbm(hi_gb: float = 16.0, resolution_gb: float = 0.25
+                    ) -> float:
+    """Largest device-only allocation (GB) that succeeds right now —
+    bisection with a jit'd ``jnp.zeros`` (no host transfer; each probe
+    buffer is dropped before the next). Reports usable headroom directly:
+    what a bigger resident store could still claim."""
+    import jax
+    import jax.numpy as jnp
+
+    def try_alloc(gb: float) -> bool:
+        n = int(gb * 2**30)
+        try:
+            buf = jax.jit(lambda: jnp.zeros((n,), jnp.uint8))()
+            jax.device_get(buf[:1])  # force materialization via the relay
+            del buf
+            return True
+        except Exception:
+            return False
+
+    lo, hi = 0.0, hi_gb
+    while hi - lo > resolution_gb:
+        mid = (lo + hi) / 2
+        ok = try_alloc(mid)
+        _note(f"hbm probe: {mid:.2f} GB {'ok' if ok else 'FAILED'}")
+        if ok:
+            lo = mid
+        else:
+            hi = mid
+    return round(lo, 2)
 
 
 def _child_entry() -> None:

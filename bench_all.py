@@ -155,6 +155,101 @@ def bench_resident_eval(on_tpu: bool) -> dict:
             "rows": n_q, "ms_per_split": round(dt * 1e3, 1)}
 
 
+def bench_val_scale_eval(on_tpu: bool) -> dict:
+    """VQA-v2-val-SCALE resident eval, measured (round-4 VERDICT missing
+    #3 — the '~248k q/s/chip projected at >=139k rows' amortization-curve
+    claim becomes a number): 215,040 rows (the 214,354-question val split
+    padded up to batch 256) over a multi-GB dedup store
+    (``BENCH_VAL_STORE_GB``, default 4), one dispatch + one fetch through
+    ``Trainer._make_resident_evaluator``."""
+    from vqa_transfer_externaldata_tpu.config import Config
+    from vqa_transfer_externaldata_tpu.data.datasets import (
+        synthetic_vqa_joined)
+    from vqa_transfer_externaldata_tpu.models.zoo import build_model
+    from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
+
+    batch = 256 if on_tpu else 32
+    cfg = Config().replace_flat({
+        "data.synthetic": True, "train.batch_size": batch,
+        "train.device_data_cache": True,
+        "train.resident_fused_attention": True,
+        **({} if on_tpu else {
+            "data.vocab_size": 256, "data.num_answers": 64,
+            "data.feature_dim": 256, "data.pool5_dim": 256,
+            "model.rnn_dim": 64, "model.fusion_dim": 128,
+            "model.att_hidden": 64, "model.dtype": "float32"}),
+    })
+    store_gb = float(os.environ.get("BENCH_VAL_STORE_GB", "4"))
+    if on_tpu:
+        n_q = 215040  # 840 batches of 256
+        n_cells = cfg.data.grid_h * cfg.data.grid_w
+        n_img = int(store_gb * 2**30
+                    / (n_cells * cfg.data.feature_dim * 2))
+    else:
+        n_q, n_img = 2048, 64
+    ds = synthetic_vqa_joined(cfg, n_questions=n_q, n_images=n_img, seed=0)
+    spec = build_model(cfg)
+    trainer = Trainer(cfg, spec,
+                      train_dir=tempfile.mkdtemp(prefix="ba_valscale_"))
+    n_chips = trainer.mesh.devices.size
+    state = trainer.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    eval_fn = trainer._make_resident_evaluator(ds)
+    dt = _median_time(lambda: eval_fn(state), reps=3)
+    trainer.close()
+    return {"questions_per_sec_per_chip": round(n_q / dt / n_chips, 1),
+            "rows": n_q, "ms_per_split": round(dt * 1e3, 1),
+            "store_gb_f16": round(ds.store.grid.nbytes / 2**30, 2),
+            "store_rows": n_img}
+
+
+def bench_vlmap_desc(on_tpu: bool) -> dict:
+    """Stage-1 DESCRIPTION-variant training throughput (the paper's
+    blank-fill task-discovery workload) at production shape, GRU and
+    BiGRU encoders — the word-level row above does not exercise the
+    phrase encoder at all, and the last description number predates the
+    dense-vocab scoring + time-major changes (round-4 VERDICT missing
+    item: no current ``vlmap_desc`` artifact row existed)."""
+    from vqa_transfer_externaldata_tpu.config import Config
+    from vqa_transfer_externaldata_tpu.data.datasets import (
+        synthetic_vlmap_desc)
+    from vqa_transfer_externaldata_tpu.models.zoo import build_model
+    from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
+    from bench import _summarize
+
+    batch = 256 if on_tpu else 32
+    window = 128 if on_tpu else 2
+    out = {}
+    for label, bidir in (("gru", False), ("bigru", True)):
+        cfg = Config().replace_flat({
+            "data.synthetic": True, "model.model": "vlmap_description",
+            "model.bidirectional_desc": bidir,
+            "train.batch_size": batch, "train.log_every": window,
+            "train.max_steps": window * (8 if on_tpu else 2),
+            "train.checkpoint_every": 10**9, "train.eval_every": 10**9,
+            "train.device_data_cache": True,
+            "train.steps_per_call": 32 if on_tpu else 2,
+            **({} if on_tpu else {"data.vocab_size": 256,
+                                  "data.pool5_dim": 128,
+                                  "model.rnn_dim": 64}),
+        })
+        ds = synthetic_vlmap_desc(cfg, size=4096 if on_tpu else 128)
+        spec = build_model(cfg)
+        train_dir = tempfile.mkdtemp(prefix=f"ba_vld_{label}_")
+        trainer = Trainer(cfg, spec, train_dir=train_dir)
+        n_chips = trainer.mesh.devices.size
+        state = trainer.init_state(
+            next(ds.batches(1, epochs=1, shuffle=False)))
+        trainer.fit_resident(ds, state)
+        trainer.close()
+        stats = _summarize(
+            _windows_qps(train_dir, "train/questions_per_sec"), n_chips)
+        out[label] = {"regions_per_sec_per_chip": stats["value"],
+                      "windows": stats["windows_qps_per_chip"],
+                      "batch_size": batch}
+        _note(f"vlmap_desc[{label}]: {out[label]}")
+    return out
+
+
 def bench_end2end_step(on_tpu: bool) -> dict:
     """End2end raw-image (config 5) train step: 448 JPEG-decoded images ->
     frozen space-to-depth ResNet-101 -> attention head; images/s/chip of
@@ -259,13 +354,24 @@ def bench_end2end_ingest(on_tpu: bool) -> dict:
     # decode_jpeg_batch returns None when the native library isn't built;
     # timing that no-op would report a absurd multi-million img/s "rate",
     # so the row carries null instead (native_decoder: false names why).
+    # (c) decode THREAD scaling (round-4 VERDICT missing #4): the
+    # "~5 host cores sustain the step rate" claim needs a measured slope,
+    # not an extrapolation. On this 1-core box threads contend, so the
+    # 1->2 slope is a LOWER bound on the per-core scaling (2 threads on 2
+    # real cores can only do better than 2 threads on 1); the artifact
+    # states the measured numbers and that bound explicitly.
     decode = native.decode_jpeg_batch(paths, size)
+    decode_rate, decode_scaling = None, None
     if decode is not None:
         t0 = time.perf_counter()
         native.decode_jpeg_batch(paths, size)
         decode_rate = round(n_imgs / (time.perf_counter() - t0), 1)
-    else:
-        decode_rate = None
+        decode_scaling = {}
+        for nt in (1, 2):
+            t0 = time.perf_counter()
+            native.decode_jpeg_batch(paths, size, threads=nt)
+            decode_scaling[f"threads_{nt}"] = round(
+                n_imgs / (time.perf_counter() - t0), 1)
 
     n_q = window * n_windows * batch
     arrays = {
@@ -283,15 +389,34 @@ def bench_end2end_ingest(on_tpu: bool) -> dict:
     state = trainer.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
     trainer.fit(ds.batches(batch, seed=0), state)
     trainer.close()
-    ds.close()
     from bench import _summarize
 
     stats = _summarize(_windows_qps(train_dir, "train/questions_per_sec"),
                        n_chips)
+
+    # Grain-fed variant of the SAME row (round-4 VERDICT missing #4): the
+    # checkpointable production input pipeline (--data.input_pipeline
+    # grain) instead of the ThreadPool batcher; workers=0 = in-process
+    # decode (mp workers would only contend on this 1-core host).
+    from vqa_transfer_externaldata_tpu.data.grain_loader import (
+        GrainTrainIterator)
+
+    grain_dir = tempfile.mkdtemp(prefix="ba_ingestg_")
+    trainer = Trainer(cfg, spec, train_dir=grain_dir)
+    state = trainer.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+    trainer.fit(GrainTrainIterator(ds, batch_size=batch, seed=0), state)
+    trainer.close()
+    ds.close()
+    grain_stats = _summarize(
+        _windows_qps(grain_dir, "train/questions_per_sec"), n_chips)
+
     host_cores = os.cpu_count() or 1
     return {"images_per_sec_per_chip_with_ingest": stats["value"],
             "windows": stats["windows_qps_per_chip"],
+            "images_per_sec_per_chip_grain_fed": grain_stats["value"],
+            "grain_windows": grain_stats["windows_qps_per_chip"],
             "host_decode_imgs_per_sec": decode_rate,
+            "host_decode_thread_scaling": decode_scaling,
             "host_cores": host_cores,
             "native_decoder": decode is not None,
             "batch_size": batch, "image_size": size}
@@ -350,6 +475,42 @@ def bench_serving(on_tpu: bool) -> dict:
         out[f"batch_{bs}"] = {
             "p50_ms": round(p50 * 1e3, 2), "p99_ms": round(p99 * 1e3, 2),
             "qps_at_p50": round(bs / p50, 1)}
+
+        # Pipelined STREAM at the same batch size (round-4 VERDICT weak
+        # #3): submit(N+1) before result(N) overlaps the next request's
+        # feature upload with the current request's device execution +
+        # fetch. Reported as per-request mean over the stream, so it is
+        # directly comparable to p50 above.
+        n_req = reps
+        t0 = time.perf_counter()
+        handle = pred.submit(feats, questions)
+        for _ in range(n_req - 1):
+            nxt = pred.submit(feats, questions)
+            pred.result(handle)
+            handle = nxt
+        pred.result(handle)
+        per_req = (time.perf_counter() - t0) / n_req
+        out[f"batch_{bs}"]["pipelined_ms_per_request"] = round(
+            per_req * 1e3, 2)
+        out[f"batch_{bs}"]["pipelined_qps"] = round(bs / per_req, 1)
+
+        # Pre-staged device features (same VERDICT item): the request's
+        # feature tensor already lives on device (e.g. rows of the
+        # resident store) — the serving envelope minus the host->device
+        # feature upload the batch-64 row is dominated by.
+        import jax.numpy as jnp
+
+        dev_feats = jax.device_put(feats.astype(jnp.bfloat16))
+        jax.device_get(pred._apply(pred.params, dev_feats,
+                                   pred._encode_questions(questions)))
+        times = []
+        for _ in range(reps):
+            t = time.perf_counter()
+            pred.answer(dev_feats, questions)
+            times.append(time.perf_counter() - t)
+        p50s = float(np.percentile(times, 50))
+        out[f"batch_{bs}"]["pre_staged_p50_ms"] = round(p50s * 1e3, 2)
+        out[f"batch_{bs}"]["pre_staged_qps_at_p50"] = round(bs / p50s, 1)
     return out
 
 
@@ -377,7 +538,9 @@ def main() -> None:
         with open(path) as fh:
             out = {**json.load(fh), **out}
     rows = [("stage1_vlmap_train", bench_stage1_vlmap),
+            ("vlmap_desc_train", bench_vlmap_desc),
             ("resident_full_split_eval", bench_resident_eval),
+            ("val_scale_resident_eval", bench_val_scale_eval),
             ("end2end_raw_image_train_step", bench_end2end_step),
             ("end2end_with_ingest", bench_end2end_ingest),
             ("serving_predictor_latency", bench_serving)]
@@ -390,7 +553,10 @@ def main() -> None:
         if only and name not in only:
             continue
         _note(f"{name}: starting")
-        out[name] = fn(on_tpu)
+        # Per-row timestamp (round-4 ADVICE): a BENCH_ALL_ONLY merge keeps
+        # stale rows next to fresh ones — each row says when it was
+        # actually measured instead of inheriting the new header's date.
+        out[name] = dict(fn(on_tpu), recorded_unix=int(time.time()))
         _note(f"{name}: {out[name]}")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
