@@ -677,16 +677,18 @@ def main() -> None:
         _emit(train_dir, n_chips, batch_size, partial=False, extra=extra)
 
 
-def _probe_free_hbm(hi_gb: float = 16.0, resolution_gb: float = 0.25
-                    ) -> float:
+def _probe_free_hbm(hi_gb: float = 16.0, resolution_gb: float = 0.25,
+                    try_alloc=None) -> float:
     """Largest device-only allocation (GB) that succeeds right now —
     bisection with a jit'd ``jnp.zeros`` (no host transfer; each probe
     buffer is dropped before the next). Reports usable headroom directly:
-    what a bigger resident store could still claim."""
-    import jax
-    import jax.numpy as jnp
+    what a bigger resident store could still claim. ``try_alloc`` is
+    injectable for the unit test; default probes the real device."""
 
-    def try_alloc(gb: float) -> bool:
+    def _real_try_alloc(gb: float) -> bool:
+        import jax
+        import jax.numpy as jnp
+
         n = int(gb * 2**30)
         try:
             buf = jax.jit(lambda: jnp.zeros((n,), jnp.uint8))()
@@ -696,6 +698,7 @@ def _probe_free_hbm(hi_gb: float = 16.0, resolution_gb: float = 0.25
         except Exception:
             return False
 
+    try_alloc = try_alloc or _real_try_alloc
     lo, hi = 0.0, hi_gb
     while hi - lo > resolution_gb:
         mid = (lo + hi) / 2

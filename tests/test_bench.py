@@ -387,6 +387,30 @@ def test_summarize_keeps_raw_windows_when_merging():
     assert "windows_qps_per_chip_raw" not in s
 
 
+def test_probe_free_hbm_bisection():
+    """The allocate-to-failure bisection converges on the true free size
+    within its resolution, never probing above hi_gb."""
+    probed = []
+
+    def fake_alloc(free):
+        def try_alloc(gb):
+            probed.append(gb)
+            return gb <= free
+        return try_alloc
+
+    free = 5.3
+    got = bench._probe_free_hbm(hi_gb=16.0, resolution_gb=0.25,
+                                try_alloc=fake_alloc(free))
+    assert abs(got - free) <= 0.25
+    assert all(g <= 16.0 for g in probed)
+    # nothing free: converges to ~0, doesn't loop forever
+    assert bench._probe_free_hbm(hi_gb=16.0, resolution_gb=0.5,
+                                 try_alloc=lambda gb: False) <= 0.5
+    # everything free: reports ~hi
+    assert bench._probe_free_hbm(hi_gb=8.0, resolution_gb=0.5,
+                                 try_alloc=lambda gb: True) >= 7.5
+
+
 def test_profiled_step_artifact_roundtrip(monkeypatch, tmp_path):
     """The merge-bound ceiling is DERIVED from the committed artifact
     (refreshed by BENCH_PROFILE runs), keyed by model+variant; the
