@@ -97,6 +97,52 @@ def test_pallas_matches_scan(setup):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_reverse_pallas_matches_scan(setup):
+    """reverse=True through the fused kernel (per-row time-reversed
+    inputs into the forward recurrence) == the reverse scan, fwd+grad —
+    this is BiGRU's backward direction, which used to fall off the fused
+    path entirely."""
+    _, params, x, mask, _, H = setup
+    enc_p = GRUEncoder(hidden=H, dtype=jnp.float32, use_pallas=True,
+                       reverse=True)
+    enc_s = GRUEncoder(hidden=H, dtype=jnp.float32, use_pallas=False,
+                       reverse=True)
+    out_p = enc_p.apply(params, x, mask)
+    out_s = enc_s.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s),
+                               rtol=1e-5, atol=1e-5)
+    # a reversed encoder is genuinely different from the forward one
+    fwd = GRUEncoder(hidden=H, dtype=jnp.float32).apply(params, x, mask)
+    assert not np.allclose(np.asarray(out_p), np.asarray(fwd))
+
+    def loss(enc):
+        return lambda p, x: jnp.sum(enc.apply(p, x, mask) ** 2)
+
+    gp = jax.grad(loss(enc_p), argnums=(0, 1))(params, x)
+    gs = jax.grad(loss(enc_s), argnums=(0, 1))(params, x)
+    for leaf_p, leaf_s in zip(jax.tree_util.tree_leaves(gp),
+                              jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(leaf_p), np.asarray(leaf_s),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_reverse_pallas_ignores_padding(setup):
+    """Per-row reversal must start at each row's own length: padding
+    changes beyond L never reach the reversed prefix."""
+    _, params, x, mask, lengths, H = setup
+    enc = GRUEncoder(hidden=H, dtype=jnp.float32, use_pallas=True,
+                     reverse=True)
+    out1 = enc.apply(params, x, mask)
+    x2 = x.at[1, 3:].set(99.0)  # row 1 has length 3
+    out2 = enc.apply(params, x2, mask)
+    np.testing.assert_allclose(np.asarray(out1[1]), np.asarray(out2[1]),
+                               rtol=1e-6, atol=1e-6)
+    # zero-length row stays zero state
+    mask0 = mask.at[2, :].set(0.0)
+    out0 = enc.apply(params, x, mask0)
+    np.testing.assert_allclose(np.asarray(out0[2]), 0.0, atol=1e-6)
+
+
 def test_bf16_close_to_f32(setup):
     enc_f32, params, x, mask, _, H = setup
     enc_bf16 = GRUEncoder(hidden=H, dtype=jnp.bfloat16)
