@@ -623,6 +623,19 @@ def main() -> None:
         _note(f"eval(resident full split): {len(ds) / dt / n_chips:,.0f} "
               f"q/s/chip ({len(ds)} rows in {dt * 1e3:.1f} ms)  "
               f"acc={metrics.get('accuracy', float('nan')):.4f}")
+
+    hbm_free = None
+    if store_gb and os.environ.get("BENCH_HBM_PROBE"):
+        # memory_stats is unavailable through the relay, so the
+        # realistic-scale table's headroom was inferred, not read
+        # (VERDICT r04 weak #5): measure it by allocate-to-failure
+        # bisection WHILE the resident store is still alive (the trainer
+        # keeps the uploaded tree reachable until close() — probing
+        # after close() measures an idle chip: 15.5 GB "free" next to an
+        # 8.8 GB store, observed 2026-08-21). Gated: a deliberate OOM is
+        # not something the headline run should risk.
+        wd.set_stage("hbm_probe")
+        hbm_free = _probe_free_hbm()
     trainer.close()
 
     # Self-reported stable number: when the run captured a profiler trace
@@ -640,16 +653,8 @@ def main() -> None:
                     ms["bytes_in_use"] / 2**30, 2)
         except Exception:
             pass
-        if os.environ.get("BENCH_HBM_PROBE"):
-            # memory_stats is unavailable through the relay, so the
-            # realistic-scale table's headroom was inferred, not read
-            # (VERDICT r04 weak #5): measure it by allocate-to-failure
-            # bisection — the largest single device-side jnp.zeros that
-            # still allocates next to the resident state. Gated: a
-            # deliberate OOM is not something the headline run should
-            # risk (allocator fragmentation on the shared relay).
-            wd.set_stage("hbm_probe")
-            extra["hbm_free_gb_measured"] = _probe_free_hbm()
+        if hbm_free is not None:
+            extra["hbm_free_gb_measured"] = hbm_free
     if os.environ.get("BENCH_PROFILE"):
         wd.set_stage("trace_summary")
         try:
@@ -886,8 +891,12 @@ def supervise(child_cmd=None) -> int:
         store_gb = 0.0  # the child raises + emits the error line itself
     total = int(os.environ.get("BENCH_HARD_EXIT_SECS",
                                str(900 + int(240 * store_gb))))
+    # Store scaling measured 2026-08-21: an 8 GB corpus run reached its
+    # first window ~1,250 s in on a slow relay (227 s host gen + ~500 s
+    # cold start + ~450 s upload inside the first fit window) — 120 s/GB
+    # left almost no margin, so 180 s/GB.
     stall_kill = int(os.environ.get("BENCH_STALL_KILL_SECS",
-                                    str(500 + int(120 * store_gb))))
+                                    str(500 + int(180 * store_gb))))
     # Minimum budget a retry needs to finish: measured healthy run =
     # 200-470 s cold start + ~60 s of windows; 320 s covers the typical
     # cold start with a reduced window count.

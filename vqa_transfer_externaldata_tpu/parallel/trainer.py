@@ -637,6 +637,12 @@ class Trainer:
                 (nbytes - store_bytes) / 1e9)
         data_shardings = self._resident_shardings(data)
         dev_arrays = self._upload_resident(data)
+        # Keep the uploaded tree reachable after fit returns: post-run
+        # consumers (the bench's HBM-headroom probe, pre-staged serving
+        # from store rows) need it ALIVE — without this reference the
+        # store frees the moment fit returns and a probe measures an idle
+        # chip. Dropped in close().
+        self._resident_arrays = dev_arrays
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         raw_step = self._raw_step_fn
@@ -1439,5 +1445,6 @@ class Trainer:
                        else np.zeros((0,), np.int32))
 
     def close(self) -> None:
+        self._resident_arrays = None  # release the device-resident tree
         self.ckpt.close()
         self.metrics.close()
