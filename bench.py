@@ -682,13 +682,18 @@ def main() -> None:
         _emit(train_dir, n_chips, batch_size, partial=False, extra=extra)
 
 
-def _probe_free_hbm(hi_gb: float = 16.0, resolution_gb: float = 0.25,
+def _probe_free_hbm(hi_gb: float = 16.0, step_gb: float = 0.5,
                     try_alloc=None) -> float:
-    """Largest device-only allocation (GB) that succeeds right now —
-    bisection with a jit'd ``jnp.zeros`` (no host transfer; each probe
-    buffer is dropped before the next). Reports usable headroom directly:
-    what a bigger resident store could still claim. ``try_alloc`` is
-    injectable for the unit test; default probes the real device."""
+    """Largest device-only allocation (GB) that succeeds right now — a
+    jit'd ``jnp.zeros`` per probe (no host transfer; each buffer dropped
+    before the next). ASCENDING, stop at first failure: measured
+    2026-08-21 on the axon client that the first failed allocation
+    poisons every later one in the process (4 GB ok → 20 GB fail →
+    0.25 GB RESOURCE_EXHAUSTED forever after), so bisection gets exactly
+    one bit after its first failure — an earlier bisecting version
+    reported 0.0 GB free beside an 8.8 GB store on the 16 GB chip.
+    Resolution = ``step_gb``; ~1 s per probe. ``try_alloc`` is injectable
+    for the unit test; default probes the real device."""
 
     def _real_try_alloc(gb: float) -> bool:
         import jax
@@ -704,16 +709,15 @@ def _probe_free_hbm(hi_gb: float = 16.0, resolution_gb: float = 0.25,
             return False
 
     try_alloc = try_alloc or _real_try_alloc
-    lo, hi = 0.0, hi_gb
-    while hi - lo > resolution_gb:
-        mid = (lo + hi) / 2
-        ok = try_alloc(mid)
-        _note(f"hbm probe: {mid:.2f} GB {'ok' if ok else 'FAILED'}")
-        if ok:
-            lo = mid
-        else:
-            hi = mid
-    return round(lo, 2)
+    last, gb = 0.0, step_gb
+    while gb <= hi_gb:
+        ok = try_alloc(gb)
+        _note(f"hbm probe: {gb:.2f} GB {'ok' if ok else 'FAILED — stop'}")
+        if not ok:
+            break
+        last = gb
+        gb += step_gb
+    return round(last, 2)
 
 
 def _child_entry() -> None:

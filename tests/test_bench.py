@@ -387,28 +387,34 @@ def test_summarize_keeps_raw_windows_when_merging():
     assert "windows_qps_per_chip_raw" not in s
 
 
-def test_probe_free_hbm_bisection():
-    """The allocate-to-failure bisection converges on the true free size
-    within its resolution, never probing above hi_gb."""
+def test_probe_free_hbm_ascending():
+    """The probe ascends and STOPS at the first failure — measured on
+    the axon client that one failed allocation poisons every later one
+    in the process, so it must never probe past a failure (a bisecting
+    version read 0.0 GB free beside an 8.8 GB store)."""
     probed = []
 
     def fake_alloc(free):
         def try_alloc(gb):
+            # poisoned-client semantics: anything after a failure fails
             probed.append(gb)
+            assert all(p <= free for p in probed[:-1]), \
+                "probed past the first failure"
             return gb <= free
         return try_alloc
 
     free = 5.3
-    got = bench._probe_free_hbm(hi_gb=16.0, resolution_gb=0.25,
+    got = bench._probe_free_hbm(hi_gb=16.0, step_gb=0.5,
                                 try_alloc=fake_alloc(free))
-    assert abs(got - free) <= 0.25
-    assert all(g <= 16.0 for g in probed)
-    # nothing free: converges to ~0, doesn't loop forever
-    assert bench._probe_free_hbm(hi_gb=16.0, resolution_gb=0.5,
-                                 try_alloc=lambda gb: False) <= 0.5
-    # everything free: reports ~hi
-    assert bench._probe_free_hbm(hi_gb=8.0, resolution_gb=0.5,
-                                 try_alloc=lambda gb: True) >= 7.5
+    assert abs(got - free) <= 0.5
+    assert probed == sorted(probed)          # strictly ascending
+    assert sum(g > free for g in probed) == 1  # exactly one failure
+    # nothing free: reports 0, stops after one probe
+    assert bench._probe_free_hbm(step_gb=0.5,
+                                 try_alloc=lambda gb: False) == 0.0
+    # everything free: reports ~hi without exceeding it
+    assert bench._probe_free_hbm(hi_gb=8.0, step_gb=0.5,
+                                 try_alloc=lambda gb: True) == 8.0
 
 
 def test_profiled_step_artifact_roundtrip(monkeypatch, tmp_path):
