@@ -50,6 +50,20 @@ def test_predictor_answers(tmp_path):
     dev_feats = jax.device_put(feats)
     assert pred.answer(dev_feats, questions) == answers
 
+    # store-backed serving: stage a grid store once, answer by row index
+    # (ids-only requests; the gather happens on device)
+    store = rng.normal(size=(7, 2, 2, 16)).astype(np.float32)  # [M,g,g,C]
+    pred.stage_store(store)
+    idx = np.array([6, 0, 3, 3, 5])
+    from_store = pred.answer_indexed(idx, questions)
+    direct = pred.answer(store.reshape(7, n_cells, 16)[idx], questions)
+    assert from_store == direct
+    import pytest as _pytest
+
+    fresh = Predictor(d, batch_size=4)
+    with _pytest.raises(ValueError, match="stage_store"):
+        fresh.answer_indexed(idx, questions)
+
 
 def test_predict_cli_with_feature_store(tmp_path):
     from vqa_transfer_externaldata_tpu.data.features import extract_features
