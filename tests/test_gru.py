@@ -76,6 +76,28 @@ def test_bigru_shape(setup):
     assert out.shape == (x.shape[0], 2 * H)
 
 
+def test_bigru_time_major_matches_batch_major(setup):
+    """BiGRU time_major=True consumes [T, B, D] and must match the
+    [B, T, D] path with the same params, fwd AND input grads (the desc
+    model shares one transposed embedding lookup across both
+    directions)."""
+    _, _, x, mask, _, H = setup
+    enc_bm = BiGRUEncoder(hidden=H, dtype=jnp.float32)
+    enc_tm = BiGRUEncoder(hidden=H, dtype=jnp.float32, time_major=True)
+    params = enc_bm.init(jax.random.PRNGKey(1), x, mask)
+    x_tm = jnp.swapaxes(x, 0, 1)
+    out_bm = enc_bm.apply(params, x, mask)
+    out_tm = enc_tm.apply(params, x_tm, mask)
+    np.testing.assert_allclose(np.asarray(out_tm), np.asarray(out_bm),
+                               rtol=1e-6, atol=1e-6)
+
+    g_bm = jax.grad(lambda xx: jnp.sum(enc_bm.apply(params, xx, mask) ** 2))(x)
+    g_tm = jax.grad(
+        lambda xx: jnp.sum(enc_tm.apply(params, xx, mask) ** 2))(x_tm)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(g_tm, 0, 1)),
+                               np.asarray(g_bm), rtol=1e-5, atol=1e-5)
+
+
 def test_pallas_matches_scan(setup):
     """Fused Pallas recurrence (interpret mode) == lax.scan path, fwd+grad."""
     _, params, x, mask, _, H = setup
@@ -98,10 +120,10 @@ def test_pallas_matches_scan(setup):
 
 
 def test_reverse_pallas_matches_scan(setup):
-    """reverse=True through the fused kernel (per-row time-reversed
-    inputs into the forward recurrence) == the reverse scan, fwd+grad —
-    this is BiGRU's backward direction, which used to fall off the fused
-    path entirely."""
+    """reverse=True through the fused kernel (in-kernel descending time
+    blocks under the same prefix mask — no input gather) == the reverse
+    scan, fwd+grad — this is BiGRU's backward direction, which used to
+    fall off the fused path entirely."""
     _, params, x, mask, _, H = setup
     enc_p = GRUEncoder(hidden=H, dtype=jnp.float32, use_pallas=True,
                        reverse=True)

@@ -166,16 +166,17 @@ class VLMapDescriptionModel(nn.Module):
         # Blanked-description encoder in the shared word space (the blank
         # itself is <unk>, which stays visible to the GRU as context).
         mask = (desc_ids != PAD_ID).astype(jnp.float32)
+        # Lookup of transposed ids: words are born [T, B, D] — the
+        # recurrence's layout — so neither the gather output nor the
+        # backward's dwords needs a relayout copy ahead of the
+        # embedding scatter (models/vqa_attention.py, same trick). The
+        # BiGRU shares one lookup across both directions (the reverse
+        # direction reverses IN-KERNEL, ops/gru.py).
+        words_tm = jnp.take(word_emb, desc_ids.T, axis=0).astype(dt)
         if self.bidirectional:
-            words = jnp.take(word_emb, desc_ids, axis=0).astype(dt)
-            d = BiGRUEncoder(self.rnn_dim, dtype=dt,
-                             name="desc_bigru")(words, mask)
+            d = BiGRUEncoder(self.rnn_dim, dtype=dt, time_major=True,
+                             name="desc_bigru")(words_tm, mask)
         else:
-            # Lookup of transposed ids: words are born [T, B, D] — the
-            # recurrence's layout — so neither the gather output nor the
-            # backward's dwords needs a relayout copy ahead of the
-            # embedding scatter (models/vqa_attention.py, same trick).
-            words_tm = jnp.take(word_emb, desc_ids.T, axis=0).astype(dt)
             d = GRUEncoder(self.rnn_dim, dtype=dt,
                            use_pallas=self.use_pallas, time_major=True,
                            name="desc_gru")(words_tm, mask)

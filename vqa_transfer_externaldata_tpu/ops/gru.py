@@ -95,19 +95,18 @@ class GRUEncoder(nn.Module):
 
         if self.use_pallas:
             lens = jnp.sum(mask, axis=1).astype(jnp.int32)
-            if self.reverse:
-                # Backward recurrence through the FORWARD fused kernel:
-                # reverse each row's valid prefix in time (r_t =
-                # gx_{L-1-t} for t < L; clamped reads past L land on row
-                # 0 and are dead — the kernel's prefix mask stops at L).
-                # The scan path used to own reverse, which left BiGRU's
-                # backward direction off the fused path entirely
-                # (measured 57.7k vs 83.2k regions/s on the stage-1
-                # description variant, BENCH_ALL_r05).
-                t_idx = jnp.arange(T, dtype=jnp.int32)[:, None]  # [T, 1]
-                src = jnp.maximum(lens[None, :] - 1 - t_idx, 0)  # [T, B]
-                gx_t = jnp.take_along_axis(gx_t, src[:, :, None], axis=0)
-            hT = gru_fused(gx_t, lens, uh.astype(dt), bhn)
+            # reverse runs IN-KERNEL: the fused kernel walks the time
+            # blocks in descending order under the same ``t < lens``
+            # prefix mask — dead steps (t >= L) carry the zero initial
+            # state through, then the live steps arrive in exactly
+            # reversed order. An earlier version materialized per-row
+            # time-reversed inputs (r_t = gx_{L-1-t}) with a
+            # take_along_axis gather; at B=256 that moved ~41 MB per
+            # direction (plus its scatter in the backward) and erased
+            # most of the fused-kernel win for BiGRU (58.9k vs 83.2k
+            # regions/s, BENCH_ALL_r05).
+            hT = gru_fused(gx_t, lens, uh.astype(dt), bhn,
+                           reverse=self.reverse)
             return hT.astype(dt)
 
         uh_c = uh.astype(dt)
@@ -136,18 +135,23 @@ class GRUEncoder(nn.Module):
 
 
 class BiGRUEncoder(nn.Module):
-    """Bidirectional variant: concat of forward/backward final states."""
+    """Bidirectional variant: concat of forward/backward final states.
+
+    ``time_major`` is forwarded to both directions (x [T, B, D], mask
+    stays [B, T]) — a caller that looks up transposed token ids skips
+    BOTH directions' input transposes (see GRUEncoder.time_major)."""
 
     hidden: int = 512
     dtype: Dtype = jnp.bfloat16
     unroll: int = 2
+    time_major: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-        fwd = GRUEncoder(self.hidden, self.dtype, self.unroll, name="fwd")(
-            x, mask)
+        fwd = GRUEncoder(self.hidden, self.dtype, self.unroll,
+                         time_major=self.time_major, name="fwd")(x, mask)
         bwd = GRUEncoder(self.hidden, self.dtype, self.unroll, reverse=True,
-                         name="bwd")(x, mask)
+                         time_major=self.time_major, name="bwd")(x, mask)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 
@@ -157,19 +161,26 @@ class BiGRUEncoder(nn.Module):
 
 
 def _gru_fwd_kernel(gx_ref, lens_ref, uh_ref, bhn_ref,
-                    hT_ref, hseq_ref, h_scr):
+                    hT_ref, hseq_ref, h_scr, *, reverse: bool):
     """One grid step = one timestep; hidden state persists in VMEM scratch.
 
     gx_ref (1, B, 3H) f32: precomputed x@Wx+b for step t;
     lens_ref (B, 128) i32 (column-broadcast lengths); uh_ref (H, 3H);
     bhn_ref (8, H) f32; outputs: hT (B, H) f32, hseq (1, B, H) f32 (the
     post-step states, saved as the backward residuals).
+
+    ``reverse``: the index maps feed time blocks in DESCENDING order;
+    the same ``t < lens`` prefix mask makes the padded steps (processed
+    first) carry the zero state through, so no per-row input reversal is
+    ever materialized. hseq[t] holds the post-step state of actual
+    timestep t in both modes.
     """
-    t = pl.program_id(0)
+    k = pl.program_id(0)
     last = pl.num_programs(0) - 1
+    t = last - k if reverse else k  # actual timestep this block holds
     H = bhn_ref.shape[-1]
 
-    @pl.when(t == 0)
+    @pl.when(k == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
 
@@ -186,22 +197,26 @@ def _gru_fwd_kernel(gx_ref, lens_ref, uh_ref, bhn_ref,
     h_scr[:] = h_next
     hseq_ref[0] = h_next
 
-    @pl.when(t == last)
+    @pl.when(k == last)
     def _():
         hT_ref[:] = h_scr[:]
 
 
 def _gru_bwd_kernel(gx_ref, hprev_ref, lens_ref, uh_ref, uht_ref, bhn_ref,
-                    ghT_ref, dgx_ref, duh_ref, dbhn_ref, dh_scr):
-    """BPTT: grid step k processes timestep t = T-1-k (reversed index maps).
+                    ghT_ref, dgx_ref, duh_ref, dbhn_ref, dh_scr,
+                    *, reverse: bool):
+    """BPTT: grid step k walks the processing order backwards — timestep
+    t = T-1-k for the forward recurrence, t = k for the reversed one
+    (whose processing order is descending t, so its BPTT ascends).
 
-    Recomputes the gates from gx_t and h_{t-1} (one small matmul — cheaper
-    than saving r/z/n), accumulates dUh/dbhn into resident output blocks,
-    and writes dgx_t; dx/dWx/db are recovered outside by XLA matmuls.
+    Recomputes the gates from gx_t and the pre-step state (one small
+    matmul — cheaper than saving r/z/n), accumulates dUh/dbhn into
+    resident output blocks, and writes dgx_t; dx/dWx/db are recovered
+    outside by XLA matmuls.
     """
     k = pl.program_id(0)
     T = pl.num_programs(0)
-    t = T - 1 - k
+    t = k if reverse else T - 1 - k
     H = bhn_ref.shape[-1]
 
     @pl.when(k == 0)
@@ -210,10 +225,12 @@ def _gru_bwd_kernel(gx_ref, hprev_ref, lens_ref, uh_ref, uht_ref, bhn_ref,
         duh_ref[:] = jnp.zeros_like(duh_ref)
         dbhn_ref[:] = jnp.zeros_like(dbhn_ref)
 
-    # h_{t-1}: hseq block at t-1 (index map clamps t=0 to block 0; the
-    # t == 0 case overrides with the zero initial state).
+    # Pre-step state: hseq block at t-1 (forward) / t+1 (reverse); the
+    # index map clamps at the boundary, where the first-processed step's
+    # zero initial state is restored by the override below.
     h_prev = hprev_ref[0].astype(jnp.float32)
-    h_prev = jnp.where(t > 0, h_prev, 0.0)
+    first_processed = (t == T - 1) if reverse else (t == 0)
+    h_prev = jnp.where(first_processed, 0.0, h_prev)
 
     # Recompute gates for step t.
     gh = jnp.dot(h_prev.astype(uh_ref.dtype), uh_ref[:],
@@ -274,12 +291,14 @@ def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _gru_pallas_fwd_call(gx_t, lens, uh, bhn, *, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "reverse"))
+def _gru_pallas_fwd_call(gx_t, lens, uh, bhn, *, interpret: bool,
+                         reverse: bool = False):
     """gx_t [T, B, 3H] f32 (time-major — the layout the kernel's per-step
     blocks want; batch-major input cost a profiled 0.057 ms relayout),
     lens [B] i32, uh [H, 3H], bhn [H] f32
-    -> (hT [B, H] f32, hseq [T, B, H] f32)."""
+    -> (hT [B, H] f32, hseq [T, B, H] f32). ``reverse`` feeds the time
+    blocks in descending order (backward recurrence; no input gather)."""
     T, B, H3 = gx_t.shape
     H = H3 // 3
     Bp = _round8(B)
@@ -289,11 +308,15 @@ def _gru_pallas_fwd_call(gx_t, lens, uh, bhn, *, interpret: bool):
     lens2d = jnp.broadcast_to(lens.astype(jnp.int32)[:, None], (Bp, 128))
     bhn_rows = jnp.broadcast_to(bhn.astype(jnp.float32)[None, :], (8, H))
 
+    # Processing order: grid step k touches time block t=k (forward) or
+    # t=T-1-k (reverse); hseq is written at the ACTUAL timestep's block.
+    step_t = (lambda k: (T - 1 - k, 0, 0)) if reverse \
+        else (lambda k: (k, 0, 0))
     hT, hseq = pl.pallas_call(
-        _gru_fwd_kernel,
+        functools.partial(_gru_fwd_kernel, reverse=reverse),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, Bp, H3), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, Bp, H3), step_t,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Bp, 128), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -305,7 +328,7 @@ def _gru_pallas_fwd_call(gx_t, lens, uh, bhn, *, interpret: bool):
         out_specs=[
             pl.BlockSpec((Bp, H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bp, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, Bp, H), step_t,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -321,12 +344,15 @@ def _gru_pallas_fwd_call(gx_t, lens, uh, bhn, *, interpret: bool):
     return hT[:B], hseq[:, :B]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _gru_pallas_bwd_call(gx_t, hseq, lens, uh, bhn, ghT, *, interpret: bool):
-    """Reverse BPTT -> (dgx_t [T, B, 3H] f32, duh [H, 3H] f32, dbhn [H]).
+@functools.partial(jax.jit, static_argnames=("interpret", "reverse"))
+def _gru_pallas_bwd_call(gx_t, hseq, lens, uh, bhn, ghT, *, interpret: bool,
+                         reverse: bool = False):
+    """BPTT -> (dgx_t [T, B, 3H] f32, duh [H, 3H] f32, dbhn [H]).
     Time-major in AND out: dgx_t feeds the dx/dWx matmuls, which contract
     over T*B and never need batch-major (returning [B, T, 3H] cost a
-    profiled 0.067 ms relayout copy per step)."""
+    profiled 0.067 ms relayout copy per step). ``reverse`` matches the
+    forward call: BPTT walks the processing order backwards, so it
+    ascends actual time and reads hseq[t+1] as the pre-step state."""
     T, B, H3 = gx_t.shape
     H = H3 // 3
     Bp = _round8(B)
@@ -339,10 +365,14 @@ def _gru_pallas_bwd_call(gx_t, hseq, lens, uh, bhn, ghT, *, interpret: bool):
     bhn_rows = jnp.broadcast_to(bhn.astype(jnp.float32)[None, :], (8, H))
     uht = uh.T  # [3H, H]
 
-    rev = lambda k: (T - 1 - k, 0, 0)
-    rev_prev = lambda k: (jnp.maximum(T - 2 - k, 0), 0, 0)
+    if reverse:
+        rev = lambda k: (k, 0, 0)
+        rev_prev = lambda k: (jnp.minimum(k + 1, T - 1), 0, 0)
+    else:
+        rev = lambda k: (T - 1 - k, 0, 0)
+        rev_prev = lambda k: (jnp.maximum(T - 2 - k, 0), 0, 0)
     dgx, duh, dbhn = pl.pallas_call(
-        _gru_bwd_kernel,
+        functools.partial(_gru_bwd_kernel, reverse=reverse),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, Bp, H3), rev, memory_space=pltpu.VMEM),
@@ -380,22 +410,24 @@ def _gru_pallas_bwd_call(gx_t, hseq, lens, uh, bhn, ghT, *, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_gru_fused(interpret: bool):
+def _make_gru_fused(interpret: bool, reverse: bool):
     @jax.custom_vjp
     def fused(gx, lens, uh, bhn):
         hT, _ = _gru_pallas_fwd_call(gx, lens, uh, bhn,
-                                     interpret=interpret)
+                                     interpret=interpret, reverse=reverse)
         return hT
 
     def fwd(gx, lens, uh, bhn):
         hT, hseq = _gru_pallas_fwd_call(gx, lens, uh, bhn,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        reverse=reverse)
         return hT, (gx, hseq, lens, uh, bhn)
 
     def bwd(res, ghT):
         gx_t, hseq, lens, uh, bhn = res
         dgx_t, duh, dbhn = _gru_pallas_bwd_call(gx_t, hseq, lens, uh, bhn,
-                                                ghT, interpret=interpret)
+                                                ghT, interpret=interpret,
+                                                reverse=reverse)
         return (dgx_t.astype(gx_t.dtype), None,
                 duh.astype(uh.dtype), dbhn.astype(bhn.dtype))
 
@@ -404,15 +436,17 @@ def _make_gru_fused(interpret: bool):
 
 
 def gru_fused(gx_t: jnp.ndarray, lens: jnp.ndarray, uh: jnp.ndarray,
-              bhn: jnp.ndarray, *,
+              bhn: jnp.ndarray, *, reverse: bool = False,
               interpret: Optional[bool] = None) -> jnp.ndarray:
     """Fused GRU recurrence: gx_t [T, B, 3H] TIME-MAJOR (= x@Wx + b —
     produce it in this layout; see GRUEncoder), lens [B] int32 true
     lengths (prefix masking), uh [H, 3H], bhn [H] -> final state
-    [B, H] f32. Differentiable in gx_t/uh/bhn via the BPTT kernel."""
+    [B, H] f32. Differentiable in gx_t/uh/bhn via the BPTT kernel.
+    ``reverse`` runs the backward recurrence over each row's valid
+    prefix entirely in-kernel (descending time blocks; no gather)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _make_gru_fused(interpret)(gx_t, lens, uh, bhn)
+    return _make_gru_fused(interpret, reverse)(gx_t, lens, uh, bhn)
 
 
 class TFGRUEncoder(nn.Module):
