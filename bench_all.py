@@ -75,34 +75,45 @@ def bench_stage1_vlmap(on_tpu: bool) -> dict:
     from vqa_transfer_externaldata_tpu.models.zoo import build_model
     from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
 
-    batch = 256 if on_tpu else 32
-    window = 128 if on_tpu else 2
-    cfg = Config().replace_flat({
-        "data.synthetic": True, "model.model": "vlmap",
-        "train.batch_size": batch, "train.log_every": window,
-        "train.max_steps": window * (8 if on_tpu else 2),
-        "train.checkpoint_every": 10**9, "train.eval_every": 10**9,
-        "train.device_data_cache": True,
-        "train.steps_per_call": 32 if on_tpu else 2,
-        **({} if on_tpu else {"data.vocab_size": 256,
-                              "data.pool5_dim": 128}),
-    })
-    ds = synthetic_vlmap(cfg, size=4096 if on_tpu else 128)
-    spec = build_model(cfg)
-    train_dir = tempfile.mkdtemp(prefix="ba_vlmap_")
-    trainer = Trainer(cfg, spec, train_dir=train_dir)
-    n_chips = trainer.mesh.devices.size
-    state = trainer.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
-    trainer.fit_resident(ds, state)
-    trainer.close()
     from bench import _summarize
 
-    stats = _summarize(_windows_qps(train_dir, "train/questions_per_sec"),
-                       n_chips)
-    return {"regions_per_sec_per_chip": stats["value"],
+    batch = 256 if on_tpu else 32
+    window = 128 if on_tpu else 2
+    out = {}
+    # "gather": the per-example [B, K] candidate CE; "dense": the
+    # count-weighted dense-vocab CE (model.dense_candidate_loss) — same
+    # loss to fp noise (tests/test_models.py), minus the [B, K] element
+    # gather + backward scatter that dominate the gather step.
+    for label, dense in (("gather", False), ("dense", True)):
+        cfg = Config().replace_flat({
+            "data.synthetic": True, "model.model": "vlmap",
+            "model.dense_candidate_loss": dense,
+            "train.batch_size": batch, "train.log_every": window,
+            "train.max_steps": window * (8 if on_tpu else 2),
+            "train.checkpoint_every": 10**9, "train.eval_every": 10**9,
+            "train.device_data_cache": True,
+            "train.steps_per_call": 32 if on_tpu else 2,
+            **({} if on_tpu else {"data.vocab_size": 256,
+                                  "data.pool5_dim": 128}),
+        })
+        ds = synthetic_vlmap(cfg, size=4096 if on_tpu else 128)
+        spec = build_model(cfg)
+        train_dir = tempfile.mkdtemp(prefix="ba_vlmap_")
+        trainer = Trainer(cfg, spec, train_dir=train_dir)
+        n_chips = trainer.mesh.devices.size
+        state = trainer.init_state(
+            next(ds.batches(1, epochs=1, shuffle=False)))
+        trainer.fit_resident(ds, state)
+        trainer.close()
+        stats = _summarize(
+            _windows_qps(train_dir, "train/questions_per_sec"), n_chips)
+        out[label] = {
+            "regions_per_sec_per_chip": stats["value"],
             "windows": stats["windows_qps_per_chip"],
             "ramp_windows_discarded": stats["ramp_windows_discarded"],
             "batch_size": batch}
+        _note(f"stage1_vlmap[{label}]: {out[label]}")
+    return out
 
 
 def bench_resident_eval(on_tpu: bool) -> dict:
@@ -219,10 +230,14 @@ def bench_vlmap_desc(on_tpu: bool) -> dict:
     batch = 256 if on_tpu else 32
     window = 128 if on_tpu else 2
     out = {}
-    for label, bidir in (("gru", False), ("bigru", True)):
+    for label, bidir, dense in (("gru", False, False),
+                                ("bigru", True, False),
+                                ("gru_dense", False, True),
+                                ("bigru_dense", True, True)):
         cfg = Config().replace_flat({
             "data.synthetic": True, "model.model": "vlmap_description",
             "model.bidirectional_desc": bidir,
+            "model.dense_candidate_loss": dense,
             "train.batch_size": batch, "train.log_every": window,
             "train.max_steps": window * (8 if on_tpu else 2),
             "train.checkpoint_every": 10**9, "train.eval_every": 10**9,

@@ -126,3 +126,103 @@ def test_bidirectional_description_encoder(tiny_config):
         assert np.isfinite(float(loss))
         outs[bidi] = np.asarray(out["logits"])
     assert not np.allclose(outs[False], outs[True])
+
+
+def test_attach_candidate_counts():
+    """Counts carry with-replacement duplicates; word = candidates[label]."""
+    from vqa_transfer_externaldata_tpu.data.datasets import (
+        attach_candidate_counts)
+
+    cand = np.array([[3, 3, 5, 0], [7, 1, 1, 1]], np.int32)
+    label = np.array([2, 1], np.int32)
+    out = attach_candidate_counts({"candidates": cand, "label": label}, 8)
+    ref = np.zeros((2, 8), np.uint16)
+    np.add.at(ref, (np.array([[0], [1]]), cand), 1)
+    np.testing.assert_array_equal(out["cand_counts"], ref)
+    assert out["cand_counts"][0, 3] == 2 and out["cand_counts"][1, 1] == 3
+    np.testing.assert_array_equal(out["word"], [5, 1])
+    # existing word column is preserved, counts overwritten
+    out2 = attach_candidate_counts(
+        {"candidates": cand, "label": label, "word": np.array([9, 9])}, 8)
+    np.testing.assert_array_equal(out2["word"], [9, 9])
+
+
+@pytest.mark.parametrize("name", ["vlmap", "vlmap_description"])
+def test_dense_candidate_loss_matches_gather(tiny_config, name):
+    """model.dense_candidate_loss: the count-weighted dense CE == the
+    K-candidate gather CE — loss AND grads — including with-replacement
+    DUPLICATE candidates (counts carry multiplicity, the exactness
+    claim; models/vlmap._vlmap_dense_loss)."""
+    from vqa_transfer_externaldata_tpu.data.datasets import (
+        attach_candidate_counts)
+
+    base_cfg = tiny_config.replace_flat({
+        "model.model": name, "model.dropout": 0.0, "model.dtype": "float32"})
+    spec_g = build_model(base_cfg)
+    spec_d = build_model(base_cfg.replace_flat(
+        {"model.dense_candidate_loss": True}))
+
+    ds = load_dataset(base_cfg, "train", stage=spec_g.stage)
+    batch = dict(next(ds.batches(8, epochs=1, shuffle=False)))
+    # force duplicates: candidate 0 repeated, incl. a duplicate of the
+    # positive word in row 1
+    cand = np.asarray(batch["candidates"]).copy()
+    cand[0, :3] = cand[0, 3]
+    pos1 = cand[1, batch["label"][1]]
+    cand[1, (batch["label"][1] + 1) % cand.shape[1]] = pos1
+    batch["candidates"] = cand
+    batch = attach_candidate_counts(batch, base_cfg.data.vocab_size)
+
+    params = spec_g.module.init({"params": jax.random.PRNGKey(0)},
+                                *spec_g.inputs(batch), train=False)
+
+    def loss_fn(spec):
+        def f(p):
+            out = spec.module.apply(p, *spec.inputs(batch), train=True,
+                                    rngs={"dropout": jax.random.PRNGKey(3)})
+            return spec.loss(out, batch)[0]
+        return f
+
+    lg, gg = jax.value_and_grad(loss_fn(spec_g))(params)
+    ld, gd = jax.value_and_grad(loss_fn(spec_d))(params)
+    np.testing.assert_allclose(float(lg), float(ld), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gg),
+                    jax.tree_util.tree_leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    # eval (train=False) stays on the gathered [B, K] path even with the
+    # flag on — deterministic stored candidate sets, index predictions
+    out_eval = spec_d.module.apply(params, *spec_d.inputs(batch),
+                                   train=False)
+    assert "logits" in out_eval and "logits_vocab" not in out_eval
+
+
+def test_dense_candidate_loss_trainer_parity(tiny_config, tmp_path):
+    """One resident fit through the shared trainer in both loss modes on
+    the identical stream: logged train losses agree (the dense mode's
+    counts ride the resident upload like any other row array)."""
+    import json
+
+    from vqa_transfer_externaldata_tpu.parallel.trainer import Trainer
+
+    losses = {}
+    for dense in (False, True):
+        cfg = tiny_config.replace_flat({
+            "model.model": "vlmap", "model.dropout": 0.0,
+            "model.dense_candidate_loss": dense,
+            "train.max_steps": 20, "train.log_every": 10,
+            "train.device_data_cache": True,
+            "train.checkpoint_every": 10_000})
+        spec = build_model(cfg)
+        ds = load_dataset(cfg, "train", stage=spec.stage)
+        train_dir = str(tmp_path / f"dense_{dense}")
+        tr = Trainer(cfg, spec, train_dir=train_dir)
+        state = tr.init_state(next(ds.batches(1, epochs=1, shuffle=False)))
+        tr.fit_resident(ds, state)
+        tr.close()
+        with open(f"{train_dir}/metrics.jsonl") as fh:
+            losses[dense] = [json.loads(l)["train/loss"] for l in fh
+                             if "train/loss" in l]
+    assert losses[False] and len(losses[False]) == len(losses[True])
+    np.testing.assert_allclose(losses[False], losses[True],
+                               rtol=2e-4, atol=1e-5)

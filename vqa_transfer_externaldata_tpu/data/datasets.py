@@ -204,6 +204,37 @@ def synthetic_vqa(cfg: Config, *, size: Optional[int] = None,
     return ds
 
 
+def attach_candidate_counts(arrays: Dict[str, np.ndarray],
+                            vocab_size: int) -> Dict[str, np.ndarray]:
+    """Dense-candidate-loss inputs (``model.dense_candidate_loss``): per-row
+    candidate MULTISET counts ``cand_counts`` [N, V] uint16 plus the positive
+    ``word`` column (= candidates[label]) if absent. Counts carry
+    with-replacement duplicates, so the count-weighted dense CE is exactly
+    the K-candidate CE (models/vlmap._vlmap_dense_loss)."""
+    cand = np.asarray(arrays["candidates"])
+    n, K = cand.shape
+    if K > np.iinfo(np.uint16).max:  # count cap; K is the max multiplicity
+        raise ValueError(f"num_candidates={K} overflows uint16 counts")
+    counts = np.zeros((n, vocab_size), np.uint16)
+    # bincount over row-flattened ids: ~20x faster than np.add.at for the
+    # 2M-increment bench shape; chunked so the int64 bin buffer stays
+    # ~64 MB (chunk_rows * V bins * 8 B).
+    chunk = max(1, (1 << 23) // max(vocab_size, 1))
+    for i in range(0, n, chunk):
+        c = cand[i:i + chunk]
+        flat = c.astype(np.int64) + \
+            np.arange(c.shape[0], dtype=np.int64)[:, None] * vocab_size
+        counts[i:i + chunk] = np.bincount(
+            flat.ravel(), minlength=c.shape[0] * vocab_size
+        ).reshape(c.shape[0], vocab_size).astype(np.uint16)
+    out = dict(arrays)
+    out["cand_counts"] = counts
+    if "word" not in out:
+        out["word"] = cand[np.arange(n), np.asarray(arrays["label"])] \
+            .astype(np.int32)
+    return out
+
+
 def synthetic_vlmap(cfg: Config, *, size: Optional[int] = None,
                     seed: int = 0) -> ArrayDataset:
     """Synthetic stage-1 data: region feature determines the positive word
@@ -221,9 +252,11 @@ def synthetic_vlmap(cfg: Config, *, size: Optional[int] = None,
     candidates = rng.integers(4, d.vocab_size, size=(n, K)).astype(np.int32)
     label = rng.integers(0, K, size=n).astype(np.int32)
     candidates[np.arange(n), label] = positive
-    return ArrayDataset({
-        "feature": feature, "task": task,
-        "candidates": candidates, "label": label.astype(np.int32)})
+    arrays = {"feature": feature, "task": task,
+              "candidates": candidates, "label": label.astype(np.int32)}
+    if m.dense_candidate_loss:
+        arrays = attach_candidate_counts(arrays, d.vocab_size)
+    return ArrayDataset(arrays)
 
 
 def synthetic_vlmap_desc(cfg: Config, *, size: Optional[int] = None,
@@ -503,6 +536,13 @@ def load_dataset(cfg: Config, split: str, stage: str = "vqa",
                 f"(data/vqa_v2.py, data/visualgenome.py) or set "
                 f"--data.synthetic true")
     ds = ArrayDataset.load(path)
+    if (stage.startswith("vlmap") and split == "train"
+            and cfg.model.dense_candidate_loss
+            and "candidates" in ds.arrays):
+        # Dense training loss inputs for the resident path (the streamed
+        # CandidateResampler below rebuilds counts per fresh draw).
+        ds = ArrayDataset(
+            attach_candidate_counts(ds.arrays, cfg.data.vocab_size))
     if (stage == "vqa" and cfg.model.model == "vqa_end2end"
             and cfg.data.image_dir):
         # Raw-image (config 5) inputs: join the question table against the
@@ -557,5 +597,8 @@ def load_dataset(cfg: Config, split: str, stage: str = "vqa",
                 ds = CandidateResampler(
                     ds, {int(t): ids
                          for t, ids in meta["task_words"].items()},
-                    num_candidates=cfg.model.num_candidates)
+                    num_candidates=cfg.model.num_candidates,
+                    count_vocab_size=(cfg.data.vocab_size
+                                      if cfg.model.dense_candidate_loss
+                                      else 0))
     return ds

@@ -49,7 +49,8 @@ class CandidateResampler:
     """
 
     def __init__(self, base, task_words: Dict[int, Sequence[int]],
-                 num_candidates: int, seed: int = 0) -> None:
+                 num_candidates: int, seed: int = 0,
+                 count_vocab_size: int = 0) -> None:
         self.base = base
         self.arrays = base.arrays
         self.size = base.size
@@ -57,6 +58,10 @@ class CandidateResampler:
                       for t, ids in task_words.items()}
         self.K = num_candidates
         self.seed = seed
+        # > 0: emit per-batch candidate-multiset counts for the dense
+        # training loss (model.dense_candidate_loss) — rebuilt from THIS
+        # batch's fresh draw, overwriting any stale stored counts.
+        self.count_vocab_size = count_vocab_size
 
     def __len__(self) -> int:
         return self.size
@@ -91,6 +96,13 @@ class CandidateResampler:
             batch = dict(batch)
             batch["candidates"] = cands
             batch["label"] = label
+            if self.count_vocab_size:
+                from vqa_transfer_externaldata_tpu.data.datasets import (
+                    attach_candidate_counts)
+
+                batch = attach_candidate_counts(
+                    {**batch, "candidates": cands, "label": label},
+                    self.count_vocab_size)
             yield batch
 
 

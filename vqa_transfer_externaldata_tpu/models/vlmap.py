@@ -47,6 +47,10 @@ class VLMapModel(nn.Module):
     hidden_dim: int = 1024
     dropout: float = 0.5
     dtype: Any = jnp.bfloat16
+    # Training emits dense [B, V] logits for the count-weighted CE
+    # (model.dense_candidate_loss, config.py) instead of gathering the
+    # [B, K] candidate columns; eval always gathers.
+    dense_loss: bool = False
     word_init: Optional[np.ndarray] = None
 
     @nn.compact
@@ -75,9 +79,12 @@ class VLMapModel(nn.Module):
         # Candidate scoring: scaled cosine similarity in the shared space.
         scale = self.param("logit_scale", nn.initializers.constant(10.0),
                            (), jnp.float32)
+        proj = l2_normalize(z.astype(jnp.float32))
+        if self.dense_loss and train:
+            return {"logits_vocab": _score_vocab(z, word_emb, scale),
+                    "projection": proj}
         logits = _score_candidates(z, word_emb, candidates, scale)
-        return {"logits": logits,
-                "projection": l2_normalize(z.astype(jnp.float32))}
+        return {"logits": logits, "projection": proj}
 
     def _word_table(self) -> jnp.ndarray:
         """Nested-scope param so the table lives at params/word_emb/embedding,
@@ -101,6 +108,18 @@ class _WordTable(nn.Module):
                           (self.vocab_size, self.dim), jnp.float32)
 
 
+def _score_vocab(z: jnp.ndarray, word_emb: jnp.ndarray,
+                 scale: jnp.ndarray) -> jnp.ndarray:
+    """Scaled cosine of projection ``z`` [B, D] against EVERY word row ->
+    dense logits [B, V]. The dense-candidate-loss training path consumes
+    this directly (no per-example gather; see ``vlmap_loss``)."""
+    zn = l2_normalize(z.astype(jnp.float32))
+    en = l2_normalize(word_emb.astype(jnp.float32))  # [V, D]
+    scores = jnp.einsum("bd,vd->bv", zn, en,
+                        preferred_element_type=jnp.float32)  # [B, V]
+    return scores * scale
+
+
 def _score_candidates(z: jnp.ndarray, word_emb: jnp.ndarray,
                       candidates: jnp.ndarray, scale: jnp.ndarray
                       ) -> jnp.ndarray:
@@ -115,14 +134,15 @@ def _score_candidates(z: jnp.ndarray, word_emb: jnp.ndarray,
     all HBM-bound) never exists. Profiled on v5e at B=256, K=512,
     V=8192: step 4.33 -> 2.42 ms. The full-vocab score matrix is only
     [B, V] f32 (8 MB); the remaining cost is the [B, K]-from-[B, V]
-    element gather + its scatter transpose (~2 ms), which micro-swept
-    as an XLA lowering floor: sorted indices and a chunked one-hot-dot
-    dscores were no faster (2026-08-17)."""
-    zn = l2_normalize(z.astype(jnp.float32))
-    en = l2_normalize(word_emb.astype(jnp.float32))  # [V, D]
-    scores = jnp.einsum("bd,vd->bv", zn, en,
-                        preferred_element_type=jnp.float32)  # [B, V]
-    return jnp.take_along_axis(scores, candidates, axis=1) * scale
+    element gather + its scatter transpose (~2.2 ms profiled), which
+    micro-swept as an XLA lowering floor: sorted indices and a chunked
+    one-hot-dot dscores were no faster (2026-08-17). The TRAINING loss
+    can avoid even that by consuming the dense scores with
+    candidate-multiset counts (``model.dense_candidate_loss``); this
+    gathered form remains the eval path (deterministic stored candidate
+    sets, predictions by candidate index)."""
+    scores = _score_vocab(z, word_emb, scale)
+    return jnp.take_along_axis(scores, candidates, axis=1)
 
 
 class VLMapDescriptionModel(nn.Module):
@@ -146,6 +166,9 @@ class VLMapDescriptionModel(nn.Module):
     # right context to the encoding directly. Fwd state dim stays rnn_dim
     # per direction (encoder output 2*rnn_dim feeds the fusion MLP).
     bidirectional: bool = False
+    # Training emits dense [B, V] logits (model.dense_candidate_loss);
+    # see VLMapModel.dense_loss.
+    dense_loss: bool = False
     word_init: Optional[np.ndarray] = None
 
     @nn.compact
@@ -191,16 +214,28 @@ class VLMapDescriptionModel(nn.Module):
                 dtype=dt, name="visual_proj")(x, train=train)
         scale = self.param("logit_scale", nn.initializers.constant(10.0),
                            (), jnp.float32)
+        proj = l2_normalize(z.astype(jnp.float32))
+        if self.dense_loss and train:
+            return {"logits_vocab": _score_vocab(z, word_emb, scale),
+                    "projection": proj}
         logits = _score_candidates(z, word_emb, candidates, scale)
-        return {"logits": logits, "projection": l2_normalize(
-            z.astype(jnp.float32))}
+        return {"logits": logits, "projection": proj}
 
 
 def vlmap_loss(outputs: Dict[str, jnp.ndarray],
                batch: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Dict]:
     """Softmax CE over the K candidate words (reference C6 losses).
     ``example_mask`` (attached by the evaler's padded epoch) zeroes padded
-    rows; ``weight`` lets split-level means weight batches exactly."""
+    rows; ``weight`` lets split-level means weight batches exactly.
+
+    When the model emitted dense vocab logits (``dense_loss`` training
+    path) the same CE is computed as a count-weighted logsumexp over the
+    vocab axis — mathematically AND numerically identical for the same
+    candidate multiset (probed bitwise-equal gradients on v5e), with the
+    [B, K] gather and its backward scatter replaced by dense elementwise
+    work that XLA fuses into the score matmul's epilogue."""
+    if "logits_vocab" in outputs:
+        return _vlmap_dense_loss(outputs, batch)
     logits = outputs["logits"].astype(jnp.float32)
     labels = batch["label"]
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -210,5 +245,41 @@ def vlmap_loss(outputs: Dict[str, jnp.ndarray],
     denom = jnp.maximum(w.sum(), 1.0)
     loss = jnp.sum(nll * w) / denom
     hit = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+    acc = jnp.sum(hit * w) / denom
+    return loss, {"loss": loss, "accuracy": acc, "weight": w.sum()}
+
+
+def _vlmap_dense_loss(outputs: Dict[str, jnp.ndarray],
+                      batch: Dict[str, jnp.ndarray]
+                      ) -> Tuple[jnp.ndarray, Dict]:
+    """Count-weighted dense CE: batch carries the candidate MULTISET as
+    ``cand_counts`` [B, V] uint16 (data layer; datasets.attach_candidate_
+    counts) and the positive word id as ``word``. Identity:
+
+        CE over K candidates = log Σ_v count[b,v]·e^{s[b,v]} − s[b,word]
+
+    (counts carry with-replacement duplicates, so this is exact, not an
+    approximation). Accuracy is word-level argmax over the candidate-
+    masked dense scores — identical to position-level argmax up to
+    duplicate ties."""
+    s = outputs["logits_vocab"].astype(jnp.float32)  # [B, V]
+    c = batch["cand_counts"].astype(jnp.float32)
+    word = batch["word"]
+    w = (batch["example_mask"].astype(jnp.float32)
+         if "example_mask" in batch else
+         jnp.ones(s.shape[0], jnp.float32))
+    masked = jnp.where(c > 0, s, -1e30)  # finite: keeps padded rows NaN-free
+    m = jax.lax.stop_gradient(jnp.max(masked, axis=-1, keepdims=True))
+    # exp only where c > 0: non-candidate entries can sit above the
+    # candidate max (m is a candidate-only max), and a grown logit_scale
+    # could push exp(s - m) to inf there — where() selects 0 before any
+    # 0*inf can form. Candidates have s <= m, so their exp is bounded.
+    e = jnp.where(c > 0, c * jnp.exp(s - m), 0.0)
+    lse = jnp.log(jnp.sum(e, -1)) + m[:, 0]
+    pos = jnp.take_along_axis(s, word[:, None], axis=1)[:, 0]
+    nll = jnp.where(w > 0, lse - pos, 0.0)
+    denom = jnp.maximum(w.sum(), 1.0)
+    loss = jnp.sum(nll * w) / denom
+    hit = (jnp.argmax(masked, -1) == word).astype(jnp.float32)
     acc = jnp.sum(hit * w) / denom
     return loss, {"loss": loss, "accuracy": acc, "weight": w.sum()}

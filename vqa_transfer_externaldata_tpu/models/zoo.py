@@ -46,6 +46,12 @@ def build_model(cfg: Config,
     m, d = cfg.model, cfg.data
     dt = dtype_of(m.dtype)
     name = m.model
+    if m.dense_candidate_loss and not name.startswith("vlmap"):
+        # point-of-use contract (mirrors the store_quantize gate): the
+        # flag only means something for the stage-1 candidate CE.
+        raise ValueError(
+            f"model.dense_candidate_loss is a vlmap-family training-loss "
+            f"option; it does nothing for model.model={name!r}")
     if name in ("vqa_attention", "vqa_attention2"):
         glimpses = 2 if name == "vqa_attention2" else max(1, m.glimpses)
         rnn_variant, use_pallas = m.rnn_variant, m.use_pallas
@@ -80,7 +86,7 @@ def build_model(cfg: Config,
             vocab_size=d.vocab_size, num_tasks=m.num_tasks,
             feature_dim=d.pool5_dim, word_dim=m.word_dim,
             task_dim=m.task_dim, dropout=m.dropout, dtype=dt,
-            word_init=word_init)
+            dense_loss=m.dense_candidate_loss, word_init=word_init)
         return ModelSpec(module,
                          lambda b: (b["feature"], b["task"], b["candidates"]),
                          vlmap_loss, "vlmap", label_key="label")
@@ -90,7 +96,8 @@ def build_model(cfg: Config,
             feature_dim=d.pool5_dim, word_dim=m.word_dim,
             rnn_dim=m.rnn_dim, task_dim=m.task_dim, dropout=m.dropout,
             dtype=dt, use_pallas=m.use_pallas,
-            bidirectional=m.bidirectional_desc, word_init=word_init)
+            bidirectional=m.bidirectional_desc,
+            dense_loss=m.dense_candidate_loss, word_init=word_init)
         return ModelSpec(module,
                          lambda b: (b["feature"], b["desc_ids"], b["task"],
                                     b["candidates"]),

@@ -1165,8 +1165,10 @@ class Trainer:
         # its only consumer is the scores[i, pred_i] indicator, recomputed
         # below from the fetched preds in f64. Cuts the one-time upload by
         # n*A*4 bytes and drops a [B, A] gather from every scan step.
+        # cand_counts ([n, V] u16, dense_candidate_loss) is TRAIN-only —
+        # eval always scores the gathered [B, K] candidates.
         data, make_batch, nbytes = self._prepare_resident(
-            ds, drop_keys=("answer_scores",))
+            ds, drop_keys=("answer_scores", "cand_counts"))
         shard = self._resident_shard
         log.info("device-resident eval split: %d rows, %.2f GB uploaded "
                  "once%s", ds.size, nbytes / 1e9,
