@@ -85,14 +85,20 @@ def bench_stage1_vlmap(on_tpu: bool) -> dict:
     # loss to fp noise (tests/test_models.py), minus the [B, K] element
     # gather + backward scatter that dominate the gather step.
     for label, dense in (("gather", False), ("dense", True)):
+        # dense: the 0.26 ms profiled step puts only ~8 ms of device work
+        # behind each ~20-35 ms relay dispatch at 32 steps/call — one
+        # 512-step dispatch per log window amortizes it (133 ms device
+        # per dispatch; 128 steps/call still lost ~40% to dispatch).
+        win = (512 if dense else window) if on_tpu else window
         cfg = Config().replace_flat({
             "data.synthetic": True, "model.model": "vlmap",
             "model.dense_candidate_loss": dense,
-            "train.batch_size": batch, "train.log_every": window,
-            "train.max_steps": window * (8 if on_tpu else 2),
+            "train.batch_size": batch, "train.log_every": win,
+            "train.max_steps": win * (8 if on_tpu else 2),
             "train.checkpoint_every": 10**9, "train.eval_every": 10**9,
             "train.device_data_cache": True,
-            "train.steps_per_call": 32 if on_tpu else 2,
+            "train.steps_per_call": (win if dense else 32)
+                if on_tpu else 2,
             **({} if on_tpu else {"data.vocab_size": 256,
                                   "data.pool5_dim": 128}),
         })
