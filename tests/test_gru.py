@@ -76,6 +76,46 @@ def test_bigru_shape(setup):
     assert out.shape == (x.shape[0], 2 * H)
 
 
+def test_bigru_fused_matches_two_encoder_fallback(setup):
+    """The interleaved bidirectional kernel (ONE pallas_call advancing
+    both chains per grid step; measured-and-rejected on-chip, kept
+    behind fuse_directions) == the two-GRUEncoder scan fallback,
+    fwd+grads, on the SAME params — the param trees are identical by
+    construction (_GRUParams mirrors GRUEncoder's scope)."""
+    _, _, x, mask, lengths, H = setup
+    enc_fused = BiGRUEncoder(hidden=H, dtype=jnp.float32, use_pallas=True,
+                             fuse_directions=True)
+    enc_scan = BiGRUEncoder(hidden=H, dtype=jnp.float32, use_pallas=False)
+    p_fused = enc_fused.init(jax.random.PRNGKey(1), x, mask)
+    p_scan = enc_scan.init(jax.random.PRNGKey(1), x, mask)
+    # identical trees AND identical init values (same scope paths)
+    for a, b in zip(jax.tree_util.tree_leaves(p_fused),
+                    jax.tree_util.tree_leaves(p_scan)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out_f = enc_fused.apply(p_fused, x, mask)
+    out_s = enc_scan.apply(p_fused, x, mask)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(enc):
+        return lambda p, x: jnp.sum(enc.apply(p, x, mask) ** 2)
+
+    gf = jax.grad(loss(enc_fused), argnums=(0, 1))(p_fused, x)
+    gs = jax.grad(loss(enc_scan), argnums=(0, 1))(p_fused, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    # padding immunity through the fused path: junk past each row's
+    # length must not change either direction's state
+    x2 = x.at[1, 3:].set(77.0)  # row 1 has length 3
+    o1 = enc_fused.apply(p_fused, x, mask)
+    o2 = enc_fused.apply(p_fused, x2, mask)
+    np.testing.assert_allclose(np.asarray(o1[1]), np.asarray(o2[1]),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_bigru_time_major_matches_batch_major(setup):
     """BiGRU time_major=True consumes [T, B, D] and must match the
     [B, T, D] path with the same params, fwd AND input grads (the desc

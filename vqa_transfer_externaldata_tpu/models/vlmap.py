@@ -198,6 +198,7 @@ class VLMapDescriptionModel(nn.Module):
         words_tm = jnp.take(word_emb, desc_ids.T, axis=0).astype(dt)
         if self.bidirectional:
             d = BiGRUEncoder(self.rnn_dim, dtype=dt, time_major=True,
+                             use_pallas=self.use_pallas,
                              name="desc_bigru")(words_tm, mask)
         else:
             d = GRUEncoder(self.rnn_dim, dtype=dt,

@@ -134,25 +134,89 @@ class GRUEncoder(nn.Module):
         return hT.astype(dt)
 
 
+class _GRUParams(nn.Module):
+    """Parameter-only scope matching :class:`GRUEncoder`'s tree exactly
+    (same names, shapes, initializers, and scope path), so the fused
+    bidirectional path below produces the identical checkpoint layout —
+    and identical initial values — as two GRUEncoder submodules."""
+
+    in_dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        kinit = nn.initializers.glorot_uniform()
+        wx = self.param("wx", kinit, (self.in_dim, 3 * self.hidden),
+                        jnp.float32)
+        uh = self.param("uh", kinit, (self.hidden, 3 * self.hidden),
+                        jnp.float32)
+        b = self.param("b", nn.initializers.zeros, (3 * self.hidden,),
+                       jnp.float32)
+        bhn = self.param("bhn", nn.initializers.zeros, (self.hidden,),
+                         jnp.float32)
+        return wx, uh, b, bhn
+
+
 class BiGRUEncoder(nn.Module):
     """Bidirectional variant: concat of forward/backward final states.
 
     ``time_major`` is forwarded to both directions (x [T, B, D], mask
     stays [B, T]) — a caller that looks up transposed token ids skips
-    BOTH directions' input transposes (see GRUEncoder.time_major)."""
+    BOTH directions' input transposes (see GRUEncoder.time_major).
+
+    ``fuse_directions`` (MEASURED AND REJECTED, default off) runs BOTH
+    recurrences through ONE interleaved Pallas kernel (``bigru_fused``):
+    each grid step advances the forward chain at t=k AND the backward
+    chain at t=T-1-k, with one [T*B, D] x [D, 6H] matmul projecting both
+    directions. On-chip A/B at the stage-1 description shape (B=256,
+    H=256, T=26, dense CE): interleaved 1.7286 ms/step vs 1.5696 for the
+    two per-direction kernels — the combined backward is time-IDENTICAL
+    (0.3485 vs 0.350: Mosaic serializes the two chains inside the body,
+    no MXU pipelining materializes) and the combined forward is WORSE
+    (0.172 vs 0.127: two opposite-order block streams defeat the DMA
+    prefetch, plus concat/slice fusions around the joint projection).
+    Kept behind the flag with interpret-mode parity tests as the
+    recorded experiment. Param tree is identical either way
+    (``_GRUParams`` mirrors GRUEncoder's scope)."""
 
     hidden: int = 512
     dtype: Dtype = jnp.bfloat16
     unroll: int = 2
     time_major: bool = False
+    use_pallas: bool = True
+    fuse_directions: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-        fwd = GRUEncoder(self.hidden, self.dtype, self.unroll,
-                         time_major=self.time_major, name="fwd")(x, mask)
-        bwd = GRUEncoder(self.hidden, self.dtype, self.unroll, reverse=True,
-                         time_major=self.time_major, name="bwd")(x, mask)
-        return jnp.concatenate([fwd, bwd], axis=-1)
+        if not (self.use_pallas and self.fuse_directions):
+            fwd = GRUEncoder(self.hidden, self.dtype, self.unroll,
+                             use_pallas=self.use_pallas,
+                             time_major=self.time_major, name="fwd")(x, mask)
+            bwd = GRUEncoder(self.hidden, self.dtype, self.unroll,
+                             use_pallas=self.use_pallas, reverse=True,
+                             time_major=self.time_major, name="bwd")(x, mask)
+            return jnp.concatenate([fwd, bwd], axis=-1)
+
+        if self.time_major:
+            T, B, D = x.shape
+        else:
+            B, T, D = x.shape
+        H = self.hidden
+        wxf, uhf, bf, bhnf = _GRUParams(D, H, name="fwd")()
+        wxb, uhb, bb, bhnb = _GRUParams(D, H, name="bwd")()
+        dt = self.dtype
+        x = x.astype(dt)
+        xt = x if self.time_major else jnp.swapaxes(x, 0, 1)  # [T, B, D]
+        # One MXU matmul projects both directions ([D, 6H]).
+        wx_cat = jnp.concatenate([wxf, wxb], axis=1).astype(dt)
+        b_cat = jnp.concatenate([bf, bb])
+        gx = jnp.dot(xt.reshape(T * B, D), wx_cat,
+                     preferred_element_type=jnp.float32) + b_cat
+        gx = gx.reshape(T, B, 6 * H)
+        lens = jnp.sum(mask, axis=1).astype(jnp.int32)
+        hTf, hTb = bigru_fused(gx[:, :, :3 * H], gx[:, :, 3 * H:], lens,
+                               uhf.astype(dt), uhb.astype(dt), bhnf, bhnb)
+        return jnp.concatenate([hTf, hTb], axis=-1).astype(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -447,6 +511,306 @@ def gru_fused(gx_t: jnp.ndarray, lens: jnp.ndarray, uh: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _make_gru_fused(interpret, reverse)(gx_t, lens, uh, bhn)
+
+
+# ---------------------------------------------------------------------------
+# Interleaved bidirectional kernel (BiGRUEncoder's fused path)
+# ---------------------------------------------------------------------------
+
+
+def _gru_cell(gx, h, lens_ref, uh_ref, bhn_ref, t):
+    """Shared single-step cell math (same as _gru_fwd_kernel's body)."""
+    H = bhn_ref.shape[-1]
+    gh = jnp.dot(h.astype(uh_ref.dtype), uh_ref[:],
+                 preferred_element_type=jnp.float32)
+    r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
+    z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
+    n = jnp.tanh(gx[:, 2 * H:] + r * (gh[:, 2 * H:] + bhn_ref[:][:1]))
+    h_new = (1.0 - z) * n + z * h
+    m = (t < lens_ref[:, :1]).astype(jnp.float32)
+    return m * h_new + (1.0 - m) * h
+
+
+def _bigru_fwd_kernel(gxf_ref, gxb_ref, lens_ref, uhf_ref, uhb_ref,
+                      bhnf_ref, bhnb_ref, hTf_ref, hTb_ref,
+                      hseqf_ref, hseqb_ref, hf_scr, hb_scr):
+    """Grid step k advances the forward chain at t=k AND the backward
+    chain at t=last-k — two independent recurrences whose small matmuls
+    pipeline inside one kernel instead of across two serial launches."""
+    k = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+
+    @pl.when(k == 0)
+    def _():
+        hf_scr[:] = jnp.zeros_like(hf_scr)
+        hb_scr[:] = jnp.zeros_like(hb_scr)
+
+    hf = _gru_cell(gxf_ref[0], hf_scr[:], lens_ref, uhf_ref, bhnf_ref, k)
+    hb = _gru_cell(gxb_ref[0], hb_scr[:], lens_ref, uhb_ref, bhnb_ref,
+                   last - k)
+    hf_scr[:] = hf
+    hb_scr[:] = hb
+    hseqf_ref[0] = hf
+    hseqb_ref[0] = hb
+
+    @pl.when(k == last)
+    def _():
+        hTf_ref[:] = hf_scr[:]
+        hTb_ref[:] = hb_scr[:]
+
+
+def _gru_cell_bwd(gx, h_prev, dh, lens_ref, uh_ref, uht_ref, bhn_ref, t,
+                  dgx_ref, duh_ref, dbhn_ref):
+    """Shared single-step BPTT math (same as _gru_bwd_kernel's body);
+    writes dgx/duh/dbhn for this step and returns dh for the pre-step
+    state."""
+    H = bhn_ref.shape[-1]
+    gh = jnp.dot(h_prev.astype(uh_ref.dtype), uh_ref[:],
+                 preferred_element_type=jnp.float32)
+    gx_ = gx
+    bhn = bhn_ref[:][:1]
+    ghn_b = gh[:, 2 * H:] + bhn
+    r = jax.nn.sigmoid(gx_[:, :H] + gh[:, :H])
+    z = jax.nn.sigmoid(gx_[:, H:2 * H] + gh[:, H:2 * H])
+    n = jnp.tanh(gx_[:, 2 * H:] + r * ghn_b)
+
+    m = (t < lens_ref[:, :1]).astype(jnp.float32)
+    dh_new = m * dh
+    dh_prev = (1.0 - m) * dh + dh_new * z
+
+    dz = dh_new * (h_prev - n)
+    dn = dh_new * (1.0 - z)
+    da_n = dn * (1.0 - n * n)
+    dr = da_n * ghn_b
+    dgh_n = da_n * r
+    da_r = dr * r * (1.0 - r)
+    da_z = dz * z * (1.0 - z)
+
+    dgx_ref[0, :, :H] = da_r
+    dgx_ref[0, :, H:2 * H] = da_z
+    dgx_ref[0, :, 2 * H:] = da_n
+
+    dh_prev = dh_prev + jnp.dot(
+        da_r.astype(uht_ref.dtype), uht_ref[:H, :],
+        preferred_element_type=jnp.float32)
+    dh_prev = dh_prev + jnp.dot(
+        da_z.astype(uht_ref.dtype), uht_ref[H:2 * H, :],
+        preferred_element_type=jnp.float32)
+    dh_prev = dh_prev + jnp.dot(
+        dgh_n.astype(uht_ref.dtype), uht_ref[2 * H:, :],
+        preferred_element_type=jnp.float32)
+
+    hp = h_prev.astype(uh_ref.dtype)
+    dims = (((0,), (0,)), ((), ()))
+    duh_ref[:, :H] += jax.lax.dot_general(
+        hp, da_r.astype(hp.dtype), dims, preferred_element_type=jnp.float32)
+    duh_ref[:, H:2 * H] += jax.lax.dot_general(
+        hp, da_z.astype(hp.dtype), dims, preferred_element_type=jnp.float32)
+    duh_ref[:, 2 * H:] += jax.lax.dot_general(
+        hp, dgh_n.astype(hp.dtype), dims,
+        preferred_element_type=jnp.float32)
+    dbhn_ref[:] += jnp.broadcast_to(
+        jnp.sum(dgh_n, axis=0, keepdims=True), dbhn_ref.shape)
+    return dh_prev
+
+
+def _bigru_bwd_kernel(gxf_ref, gxb_ref, hpf_ref, hpb_ref, lens_ref,
+                      uhf_ref, uhtf_ref, uhb_ref, uhtb_ref,
+                      bhnf_ref, bhnb_ref, ghTf_ref, ghTb_ref,
+                      dgxf_ref, dgxb_ref, duhf_ref, duhb_ref,
+                      dbhnf_ref, dbhnb_ref, dhf_scr, dhb_scr):
+    """Both BPTTs per grid step: the forward chain's walks descending
+    actual time (t = T-1-k, pre-step state hseqf[t-1]) while the
+    backward chain's ascends (t = k, pre-step state hseqb[t+1])."""
+    k = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(k == 0)
+    def _():
+        dhf_scr[:] = ghTf_ref[:].astype(jnp.float32)
+        dhb_scr[:] = ghTb_ref[:].astype(jnp.float32)
+        duhf_ref[:] = jnp.zeros_like(duhf_ref)
+        duhb_ref[:] = jnp.zeros_like(duhb_ref)
+        dbhnf_ref[:] = jnp.zeros_like(dbhnf_ref)
+        dbhnb_ref[:] = jnp.zeros_like(dbhnb_ref)
+
+    tf_ = T - 1 - k
+    hpf = jnp.where(tf_ == 0, 0.0, hpf_ref[0].astype(jnp.float32))
+    dhf_scr[:] = _gru_cell_bwd(gxf_ref[0], hpf, dhf_scr[:], lens_ref,
+                               uhf_ref, uhtf_ref, bhnf_ref, tf_,
+                               dgxf_ref, duhf_ref, dbhnf_ref)
+
+    tb = k
+    hpb = jnp.where(tb == T - 1, 0.0, hpb_ref[0].astype(jnp.float32))
+    dhb_scr[:] = _gru_cell_bwd(gxb_ref[0], hpb, dhb_scr[:], lens_ref,
+                               uhb_ref, uhtb_ref, bhnb_ref, tb,
+                               dgxb_ref, duhb_ref, dbhnb_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bigru_pallas_fwd_call(gxf, gxb, lens, uhf, uhb, bhnf, bhnb, *,
+                           interpret: bool):
+    T, B, H3 = gxf.shape
+    H = H3 // 3
+    Bp = _round8(B)
+    if Bp != B:
+        gxf = jnp.pad(gxf, ((0, 0), (0, Bp - B), (0, 0)))
+        gxb = jnp.pad(gxb, ((0, 0), (0, Bp - B), (0, 0)))
+        lens = jnp.pad(lens, (0, Bp - B))
+    lens2d = jnp.broadcast_to(lens.astype(jnp.int32)[:, None], (Bp, 128))
+    bhnf_r = jnp.broadcast_to(bhnf.astype(jnp.float32)[None, :], (8, H))
+    bhnb_r = jnp.broadcast_to(bhnb.astype(jnp.float32)[None, :], (8, H))
+
+    fwd_t = lambda k: (k, 0, 0)
+    bwd_t = lambda k: (T - 1 - k, 0, 0)
+    const2 = lambda k: (0, 0)
+    hTf, hTb, hseqf, hseqb = pl.pallas_call(
+        _bigru_fwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, Bp, H3), fwd_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, H3), bwd_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, 128), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, H), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, H), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Bp, H), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, H), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, H), fwd_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, H), bwd_t, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Bp, H), jnp.float32),
+                        pltpu.VMEM((Bp, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * Bp * H * H3,
+            bytes_accessed=(gxf.size + gxb.size) * 4,
+            transcendentals=6 * T * Bp * H),
+        interpret=interpret,
+    )(gxf, gxb, lens2d, uhf, uhb, bhnf_r, bhnb_r)
+    return hTf[:B], hTb[:B], hseqf[:, :B], hseqb[:, :B]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bigru_pallas_bwd_call(gxf, gxb, hseqf, hseqb, lens, uhf, uhb,
+                           bhnf, bhnb, ghTf, ghTb, *, interpret: bool):
+    T, B, H3 = gxf.shape
+    H = H3 // 3
+    Bp = _round8(B)
+    if Bp != B:
+        pad3 = ((0, 0), (0, Bp - B), (0, 0))
+        gxf, gxb = jnp.pad(gxf, pad3), jnp.pad(gxb, pad3)
+        hseqf, hseqb = jnp.pad(hseqf, pad3), jnp.pad(hseqb, pad3)
+        lens = jnp.pad(lens, (0, Bp - B))
+        ghTf = jnp.pad(ghTf, ((0, Bp - B), (0, 0)))
+        ghTb = jnp.pad(ghTb, ((0, Bp - B), (0, 0)))
+    lens2d = jnp.broadcast_to(lens.astype(jnp.int32)[:, None], (Bp, 128))
+    bhnf_r = jnp.broadcast_to(bhnf.astype(jnp.float32)[None, :], (8, H))
+    bhnb_r = jnp.broadcast_to(bhnb.astype(jnp.float32)[None, :], (8, H))
+
+    # fwd-chain BPTT descends t (blocks T-1-k); bwd-chain BPTT ascends.
+    f_t = lambda k: (T - 1 - k, 0, 0)
+    f_prev = lambda k: (jnp.maximum(T - 2 - k, 0), 0, 0)
+    b_t = lambda k: (k, 0, 0)
+    b_next = lambda k: (jnp.minimum(k + 1, T - 1), 0, 0)
+    const2 = lambda k: (0, 0)
+    dgxf, dgxb, duhf, duhb, dbhnf, dbhnb = pl.pallas_call(
+        _bigru_bwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, Bp, H3), f_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, H3), b_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, H), f_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, H), b_next, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, 128), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H3, H), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H3, H), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, H), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, H), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, H), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, H), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Bp, H3), f_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, H3), b_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, H), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, H), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Bp, H3), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, H3), jnp.float32),
+            jax.ShapeDtypeStruct((H, H3), jnp.float32),
+            jax.ShapeDtypeStruct((H, H3), jnp.float32),
+            jax.ShapeDtypeStruct((8, H), jnp.float32),
+            jax.ShapeDtypeStruct((8, H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Bp, H), jnp.float32),
+                        pltpu.VMEM((Bp, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=12 * T * Bp * H * H3,
+            bytes_accessed=2 * (gxf.size + gxb.size) * 4,
+            transcendentals=6 * T * Bp * H),
+        interpret=interpret,
+    )(gxf, gxb, hseqf, hseqb, lens2d, uhf, uhf.T, uhb, uhb.T,
+      bhnf_r, bhnb_r, ghTf.astype(jnp.float32), ghTb.astype(jnp.float32))
+    return dgxf[:, :B], dgxb[:, :B], duhf, duhb, dbhnf[0], dbhnb[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_bigru_fused(interpret: bool):
+    @jax.custom_vjp
+    def fused(gxf, gxb, lens, uhf, uhb, bhnf, bhnb):
+        hTf, hTb, _, _ = _bigru_pallas_fwd_call(
+            gxf, gxb, lens, uhf, uhb, bhnf, bhnb, interpret=interpret)
+        return hTf, hTb
+
+    def fwd(gxf, gxb, lens, uhf, uhb, bhnf, bhnb):
+        hTf, hTb, hseqf, hseqb = _bigru_pallas_fwd_call(
+            gxf, gxb, lens, uhf, uhb, bhnf, bhnb, interpret=interpret)
+        return (hTf, hTb), (gxf, gxb, hseqf, hseqb, lens,
+                            uhf, uhb, bhnf, bhnb)
+
+    def bwd(res, g):
+        gxf, gxb, hseqf, hseqb, lens, uhf, uhb, bhnf, bhnb = res
+        ghTf, ghTb = g
+        dgxf, dgxb, duhf, duhb, dbhnf, dbhnb = _bigru_pallas_bwd_call(
+            gxf, gxb, hseqf, hseqb, lens, uhf, uhb, bhnf, bhnb,
+            ghTf, ghTb, interpret=interpret)
+        return (dgxf.astype(gxf.dtype), dgxb.astype(gxb.dtype), None,
+                duhf.astype(uhf.dtype), duhb.astype(uhb.dtype),
+                dbhnf.astype(bhnf.dtype), dbhnb.astype(bhnb.dtype))
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def bigru_fused(gxf: jnp.ndarray, gxb: jnp.ndarray, lens: jnp.ndarray,
+                uhf: jnp.ndarray, uhb: jnp.ndarray, bhnf: jnp.ndarray,
+                bhnb: jnp.ndarray, *,
+                interpret: Optional[bool] = None) -> Tuple[jnp.ndarray,
+                                                           jnp.ndarray]:
+    """Interleaved bidirectional GRU: gxf/gxb [T, B, 3H] time-major
+    per-direction input projections, lens [B] int32 -> (hT_fwd, hT_bwd)
+    [B, H] f32 each. One kernel advances both chains per grid step (the
+    backward chain in-kernel reversed, as gru_fused(reverse=True));
+    BPTT likewise walks both chains per step. Differentiable in
+    gxf/gxb/uh*/bhn*."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _make_bigru_fused(interpret)(gxf, gxb, lens, uhf, uhb,
+                                        bhnf, bhnb)
 
 
 class TFGRUEncoder(nn.Module):
