@@ -226,3 +226,37 @@ def test_dense_candidate_loss_trainer_parity(tiny_config, tmp_path):
     assert losses[False] and len(losses[False]) == len(losses[True])
     np.testing.assert_allclose(losses[False], losses[True],
                                rtol=2e-4, atol=1e-5)
+
+
+def test_dense_loss_grad_finite_with_extreme_noncandidate_logits():
+    """Regression (round-5 review): a non-candidate logit sitting far
+    above the candidate max must not NaN the backward — an outer-where
+    guard alone zeroes the forward but still multiplies the (zero)
+    cotangent by the inf exp primal. Also: an all-zero-count masked row
+    must not send log(0)'s 0/0 through the VJP."""
+    from vqa_transfer_externaldata_tpu.models.vlmap import _vlmap_dense_loss
+
+    s = jnp.array([[-50.0, 45.0, -50.0, -49.0],
+                   [1.0, 2.0, 3.0, 4.0]], jnp.float32)
+    c = jnp.array([[1, 0, 2, 1], [0, 0, 0, 0]], jnp.float32)
+    word = jnp.array([3, 0], jnp.int32)
+    mask = jnp.array([1.0, 0.0], jnp.float32)  # row 1 is padding
+
+    def f(s):
+        return _vlmap_dense_loss(
+            {"logits_vocab": s},
+            {"cand_counts": c, "word": word, "example_mask": mask})[0]
+
+    loss, g = jax.value_and_grad(f)(s)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(g)).all(), g
+    # row-0 gradient equals the gather-path softmax gradient over the
+    # candidate multiset {0, 2, 2, 3} (candidate 1 excluded)
+    logits_k = jnp.array([s[0, 0], s[0, 2], s[0, 2], s[0, 3]])
+    p = jax.nn.softmax(logits_k)
+    expect = np.zeros(4, np.float32)
+    expect[0], expect[2], expect[3] = p[0], p[1] + p[2], p[3] - 1.0
+    np.testing.assert_allclose(np.asarray(g[0]), expect, rtol=1e-5,
+                               atol=1e-7)
+    # padded row contributes nothing
+    np.testing.assert_allclose(np.asarray(g[1]), 0.0, atol=1e-8)

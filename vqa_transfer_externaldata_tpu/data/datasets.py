@@ -536,11 +536,29 @@ def load_dataset(cfg: Config, split: str, stage: str = "vqa",
                 f"(data/vqa_v2.py, data/visualgenome.py) or set "
                 f"--data.synthetic true")
     ds = ArrayDataset.load(path)
+    # Will a CandidateResampler wrap this dataset below? Decided up
+    # front because it gates the eager stored-count materialization.
+    task_words = None
+    if (stage.startswith("vlmap") and split == "train"
+            and cfg.data.resample_negatives):
+        import json as _json
+
+        meta_path = os.path.join(cfg.data.dataset_dir, f"{stage}_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = _json.load(fh)
+            task_words = meta.get("task_words")
     if (stage.startswith("vlmap") and split == "train"
             and cfg.model.dense_candidate_loss
-            and "candidates" in ds.arrays):
-        # Dense training loss inputs for the resident path (the streamed
-        # CandidateResampler below rebuilds counts per fresh draw).
+            and "candidates" in ds.arrays
+            and (cfg.train.device_data_cache or task_words is None)):
+        # Dense training loss inputs for the consumers of STORED
+        # candidate sets: the resident path (uploads ds.arrays once, so
+        # stored counts must exist even when a resampler wraps for the
+        # streamed case) and the streamed-unresampled path. When the
+        # streamed CandidateResampler is the consumer it rebuilds counts
+        # per fresh draw — materializing [N, V] here would be pure waste
+        # (N*V*2 bytes host-side; prohibitive at multi-million-region N).
         ds = ArrayDataset(
             attach_candidate_counts(ds.arrays, cfg.data.vocab_size))
     if (stage == "vqa" and cfg.model.model == "vqa_end2end"
@@ -581,24 +599,14 @@ def load_dataset(cfg: Config, split: str, stage: str = "vqa",
         else:
             ds = JoinedDataset(ds.arrays, store, index_key="image_index",
                                feature_keys=("features", "pool5"))
-    if (stage.startswith("vlmap") and split == "train"
-            and cfg.data.resample_negatives):
-        import json as _json
+    if task_words is not None:
+        from vqa_transfer_externaldata_tpu.data.visualgenome import (
+            CandidateResampler)
 
-        meta_path = os.path.join(cfg.data.dataset_dir,
-                                 f"{stage}_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                meta = _json.load(fh)
-            if "task_words" in meta:
-                from vqa_transfer_externaldata_tpu.data.visualgenome import (
-                    CandidateResampler)
-
-                ds = CandidateResampler(
-                    ds, {int(t): ids
-                         for t, ids in meta["task_words"].items()},
-                    num_candidates=cfg.model.num_candidates,
-                    count_vocab_size=(cfg.data.vocab_size
-                                      if cfg.model.dense_candidate_loss
-                                      else 0))
+        ds = CandidateResampler(
+            ds, {int(t): ids for t, ids in task_words.items()},
+            num_candidates=cfg.model.num_candidates,
+            count_vocab_size=(cfg.data.vocab_size
+                              if cfg.model.dense_candidate_loss
+                              else 0))
     return ds

@@ -273,10 +273,17 @@ def _vlmap_dense_loss(outputs: Dict[str, jnp.ndarray],
     m = jax.lax.stop_gradient(jnp.max(masked, axis=-1, keepdims=True))
     # exp only where c > 0: non-candidate entries can sit above the
     # candidate max (m is a candidate-only max), and a grown logit_scale
-    # could push exp(s - m) to inf there — where() selects 0 before any
-    # 0*inf can form. Candidates have s <= m, so their exp is bounded.
-    e = jnp.where(c > 0, c * jnp.exp(s - m), 0.0)
-    lse = jnp.log(jnp.sum(e, -1)) + m[:, 0]
+    # could push exp(s - m) to inf there. The INNER where clamps the exp
+    # input itself — an outer where alone zeroes the forward value but
+    # its backward still multiplies the (zero) cotangent by the inf
+    # primal, yielding NaN gradients once any non-candidate logit
+    # exceeds the candidate max by ~88.7 (f32 exp overflow).
+    e = jnp.where(c > 0, c * jnp.exp(jnp.where(c > 0, s, m) - m), 0.0)
+    # max-candidate entry contributes count*exp(0) >= 1, so the floor
+    # only bites all-zero-count (padded) rows — where log(0) = -inf
+    # would otherwise send 0/0 = NaN through the log VJP into shared
+    # parameter gradients even though the nll itself is masked below.
+    lse = jnp.log(jnp.maximum(jnp.sum(e, -1), 1e-30)) + m[:, 0]
     pos = jnp.take_along_axis(s, word[:, None], axis=1)[:, 0]
     nll = jnp.where(w > 0, lse - pos, 0.0)
     denom = jnp.maximum(w.sum(), 1.0)

@@ -242,22 +242,12 @@ def _gru_fwd_kernel(gx_ref, lens_ref, uh_ref, bhn_ref,
     k = pl.program_id(0)
     last = pl.num_programs(0) - 1
     t = last - k if reverse else k  # actual timestep this block holds
-    H = bhn_ref.shape[-1]
 
     @pl.when(k == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
 
-    h = h_scr[:]  # [B, H] f32
-    gh = jnp.dot(h.astype(uh_ref.dtype), uh_ref[:],
-                 preferred_element_type=jnp.float32)  # [B, 3H]
-    gx = gx_ref[0]  # [B, 3H] f32
-    r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
-    z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
-    n = jnp.tanh(gx[:, 2 * H:] + r * (gh[:, 2 * H:] + bhn_ref[:][:1]))
-    h_new = (1.0 - z) * n + z * h
-    m = (t < lens_ref[:, :1]).astype(jnp.float32)
-    h_next = m * h_new + (1.0 - m) * h
+    h_next = _gru_cell(gx_ref[0], h_scr[:], lens_ref, uh_ref, bhn_ref, t)
     h_scr[:] = h_next
     hseq_ref[0] = h_next
 
@@ -281,7 +271,6 @@ def _gru_bwd_kernel(gx_ref, hprev_ref, lens_ref, uh_ref, uht_ref, bhn_ref,
     k = pl.program_id(0)
     T = pl.num_programs(0)
     t = k if reverse else T - 1 - k
-    H = bhn_ref.shape[-1]
 
     @pl.when(k == 0)
     def _():
@@ -296,59 +285,9 @@ def _gru_bwd_kernel(gx_ref, hprev_ref, lens_ref, uh_ref, uht_ref, bhn_ref,
     first_processed = (t == T - 1) if reverse else (t == 0)
     h_prev = jnp.where(first_processed, 0.0, h_prev)
 
-    # Recompute gates for step t.
-    gh = jnp.dot(h_prev.astype(uh_ref.dtype), uh_ref[:],
-                 preferred_element_type=jnp.float32)
-    gx = gx_ref[0]
-    bhn = bhn_ref[:][:1]
-    ghn_b = gh[:, 2 * H:] + bhn
-    r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
-    z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
-    n = jnp.tanh(gx[:, 2 * H:] + r * ghn_b)
-
-    dh = dh_scr[:]
-    m = (t < lens_ref[:, :1]).astype(jnp.float32)
-    dh_new = m * dh
-    dh_prev = (1.0 - m) * dh + dh_new * z
-
-    dz = dh_new * (h_prev - n)
-    dn = dh_new * (1.0 - z)
-    da_n = dn * (1.0 - n * n)
-    dr = da_n * ghn_b
-    dgh_n = da_n * r
-    da_r = dr * r * (1.0 - r)
-    da_z = dz * z * (1.0 - z)
-
-    # dgx slices (lane offsets 0/H/2H are multiples of 128 for H >= 128).
-    dgx_ref[0, :, :H] = da_r
-    dgx_ref[0, :, H:2 * H] = da_z
-    dgx_ref[0, :, 2 * H:] = da_n
-
-    # dgh shares the gate-input gradients for r/z; n-gate differs.
-    # uh[:, gate].T == uht[gate-rows, :] (uht = uh.T, [3H, H]).
-    dh_prev = dh_prev + jnp.dot(
-        da_r.astype(uht_ref.dtype), uht_ref[:H, :],
-        preferred_element_type=jnp.float32)
-    dh_prev = dh_prev + jnp.dot(
-        da_z.astype(uht_ref.dtype), uht_ref[H:2 * H, :],
-        preferred_element_type=jnp.float32)
-    dh_prev = dh_prev + jnp.dot(
-        dgh_n.astype(uht_ref.dtype), uht_ref[2 * H:, :],
-        preferred_element_type=jnp.float32)
-
-    # dUh[:, gate] += h_prev^T @ da_gate  (contract over batch).
-    hp = h_prev.astype(uh_ref.dtype)
-    dims = (((0,), (0,)), ((), ()))
-    duh_ref[:, :H] += jax.lax.dot_general(
-        hp, da_r.astype(hp.dtype), dims, preferred_element_type=jnp.float32)
-    duh_ref[:, H:2 * H] += jax.lax.dot_general(
-        hp, da_z.astype(hp.dtype), dims, preferred_element_type=jnp.float32)
-    duh_ref[:, 2 * H:] += jax.lax.dot_general(
-        hp, dgh_n.astype(hp.dtype), dims,
-        preferred_element_type=jnp.float32)
-    dbhn_ref[:] += jnp.broadcast_to(
-        jnp.sum(dgh_n, axis=0, keepdims=True), dbhn_ref.shape)
-    dh_scr[:] = dh_prev
+    dh_scr[:] = _gru_cell_bwd(gx_ref[0], h_prev, dh_scr[:], lens_ref,
+                              uh_ref, uht_ref, bhn_ref, t,
+                              dgx_ref, duh_ref, dbhn_ref)
 
 
 def _round8(x: int) -> int:
@@ -519,7 +458,8 @@ def gru_fused(gx_t: jnp.ndarray, lens: jnp.ndarray, uh: jnp.ndarray,
 
 
 def _gru_cell(gx, h, lens_ref, uh_ref, bhn_ref, t):
-    """Shared single-step cell math (same as _gru_fwd_kernel's body)."""
+    """THE single-step cell math — the one copy shared by
+    _gru_fwd_kernel (above) and _bigru_fwd_kernel (below)."""
     H = bhn_ref.shape[-1]
     gh = jnp.dot(h.astype(uh_ref.dtype), uh_ref[:],
                  preferred_element_type=jnp.float32)
@@ -561,9 +501,13 @@ def _bigru_fwd_kernel(gxf_ref, gxb_ref, lens_ref, uhf_ref, uhb_ref,
 
 def _gru_cell_bwd(gx, h_prev, dh, lens_ref, uh_ref, uht_ref, bhn_ref, t,
                   dgx_ref, duh_ref, dbhn_ref):
-    """Shared single-step BPTT math (same as _gru_bwd_kernel's body);
-    writes dgx/duh/dbhn for this step and returns dh for the pre-step
-    state."""
+    """THE single-step BPTT math — the one copy shared by
+    _gru_bwd_kernel (above) and _bigru_bwd_kernel (below). Recomputes
+    the gates from gx and the pre-step state (one small matmul — cheaper
+    than saving r/z/n), writes this step's dgx slices (lane offsets
+    0/H/2H are multiples of 128 for H >= 128), accumulates dUh
+    (h_prev^T @ da_gate, contracting batch) and dbhn into resident
+    output blocks, and returns dh for the pre-step state."""
     H = bhn_ref.shape[-1]
     gh = jnp.dot(h_prev.astype(uh_ref.dtype), uh_ref[:],
                  preferred_element_type=jnp.float32)
