@@ -240,15 +240,21 @@ def bench_vlmap_desc(on_tpu: bool) -> dict:
                                 ("bigru", True, False),
                                 ("gru_dense", False, True),
                                 ("bigru_dense", True, True)):
+        # dense variants: one 512-step dispatch per log window, like the
+        # word-level dense row — at ~1 ms steps the 32-step dispatches
+        # sat at the relay RTT and window walls swung with tenant
+        # contention (measured 46k-300k within one run).
+        win = (512 if dense else window) if on_tpu else window
         cfg = Config().replace_flat({
             "data.synthetic": True, "model.model": "vlmap_description",
             "model.bidirectional_desc": bidir,
             "model.dense_candidate_loss": dense,
-            "train.batch_size": batch, "train.log_every": window,
-            "train.max_steps": window * (8 if on_tpu else 2),
+            "train.batch_size": batch, "train.log_every": win,
+            "train.max_steps": win * (8 if on_tpu else 2),
             "train.checkpoint_every": 10**9, "train.eval_every": 10**9,
             "train.device_data_cache": True,
-            "train.steps_per_call": 32 if on_tpu else 2,
+            "train.steps_per_call": (win if dense else 32)
+                if on_tpu else 2,
             **({} if on_tpu else {"data.vocab_size": 256,
                                   "data.pool5_dim": 128,
                                   "model.rnn_dim": 64}),
