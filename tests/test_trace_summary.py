@@ -5,6 +5,8 @@ import json
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from tools.trace_summary import find_trace, self_times, summarize  # noqa: E402
@@ -132,3 +134,26 @@ def test_summarize_top_zero_skips_op_sweep(tmp_path):
     res = summarize(str(tmp_path), steps=1, top=0)
     assert res["ops"] == {}
     assert res["device_step_ms"] == 1.0
+
+
+@pytest.mark.slow
+def test_profile_step_tool_smoke(tmp_path):
+    """tools/profile_step.py end-to-end on the CPU backend: drives a
+    short resident fit with tracing and prints one JSON line (the kernel
+    table is TPU-only, so on CPU it reports model/backend alone)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "profile_step.py"),
+         "--model.model", "vlmap", "--steps", "2", "--top", "3",
+         "--size", "64", "--data.vocab_size", "64",
+         "--data.pool5_dim", "32", "--model.num_candidates", "8"],
+        capture_output=True, text=True, env=env, timeout=560)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["model"] == "vlmap" and d["backend"] == "cpu"
