@@ -92,15 +92,17 @@ class ModelConfig:
     # vlmap family, TRAINING loss formulation. The K-candidate softmax
     # CE is exactly log Σ_v count[b,v]·e^{s_v} − s_word over the dense
     # [B, V] score matrix the model already computes — carrying the
-    # candidate MULTISET as per-word counts (uint16 [N, V], built by the
-    # data layer) makes both the [B, K]-from-[B, V] element gather and
-    # its backward scatter disappear (profiled 2.2 ms of a 3.08 ms desc
-    # step on v5e; gradients bitwise identical, tests/test_models.py).
-    # Eval keeps the gathered [B, K] logits (deterministic stored
-    # candidate sets, predictions by candidate index). Memory: counts
-    # cost N·V·2 bytes resident — fine at bench/corpus scale (68 MB at
-    # N=4096, V=8192), prohibitive for multi-million-region stores; this
-    # stays opt-in.
+    # candidate MULTISET as per-word counts ([N, V] uint8, or uint16 for
+    # num_candidates >= 256; built by the data layer) makes both the
+    # [B, K]-from-[B, V] element gather and its backward scatter
+    # disappear (profiled 2.2 ms of a 3.08 ms desc step on v5e;
+    # gradients bitwise identical, tests/test_models.py). Eval keeps the
+    # gathered [B, K] logits (deterministic stored candidate sets,
+    # predictions by candidate index). Memory: counts cost N·V bytes
+    # (u8) resident — fine at bench/corpus scale (68 MB u16 at N=4096,
+    # V=8192), prohibitive for multi-million-region stores (load_dataset
+    # raises past ~16 GB); streamed resampled training builds them per
+    # batch instead. Stays opt-in.
     dense_candidate_loss: bool = False
     # "cudnn" (TPU-fused, default) or "tf" (TF1-GRUCell-exact gate math
     # for reference-checkpoint fidelity, ops/gru.TFGRUEncoder)

@@ -207,15 +207,18 @@ def synthetic_vqa(cfg: Config, *, size: Optional[int] = None,
 def attach_candidate_counts(arrays: Dict[str, np.ndarray],
                             vocab_size: int) -> Dict[str, np.ndarray]:
     """Dense-candidate-loss inputs (``model.dense_candidate_loss``): per-row
-    candidate MULTISET counts ``cand_counts`` [N, V] uint16 plus the positive
-    ``word`` column (= candidates[label]) if absent. Counts carry
+    candidate MULTISET counts ``cand_counts`` [N, V] uint8/uint16 plus the
+    positive ``word`` column (= candidates[label]) if absent. Counts carry
     with-replacement duplicates, so the count-weighted dense CE is exactly
     the K-candidate CE (models/vlmap._vlmap_dense_loss)."""
     cand = np.asarray(arrays["candidates"])
     n, K = cand.shape
     if K > np.iinfo(np.uint16).max:  # count cap; K is the max multiplicity
         raise ValueError(f"num_candidates={K} overflows uint16 counts")
-    counts = np.zeros((n, vocab_size), np.uint16)
+    # K bounds the max multiplicity, so uint8 suffices (and halves the
+    # [N, V] resident array) whenever K < 256.
+    dtype = np.uint8 if K < 256 else np.uint16
+    counts = np.zeros((n, vocab_size), dtype)
     # bincount over row-flattened ids: ~20x faster than np.add.at for the
     # 2M-increment bench shape; chunked so the int64 bin buffer stays
     # ~64 MB (chunk_rows * V bins * 8 B).
@@ -226,7 +229,7 @@ def attach_candidate_counts(arrays: Dict[str, np.ndarray],
             np.arange(c.shape[0], dtype=np.int64)[:, None] * vocab_size
         counts[i:i + chunk] = np.bincount(
             flat.ravel(), minlength=c.shape[0] * vocab_size
-        ).reshape(c.shape[0], vocab_size).astype(np.uint16)
+        ).reshape(c.shape[0], vocab_size).astype(dtype)
     out = dict(arrays)
     out["cand_counts"] = counts
     if "word" not in out:
@@ -558,7 +561,18 @@ def load_dataset(cfg: Config, split: str, stage: str = "vqa",
         # streamed case) and the streamed-unresampled path. When the
         # streamed CandidateResampler is the consumer it rebuilds counts
         # per fresh draw — materializing [N, V] here would be pure waste
-        # (N*V*2 bytes host-side; prohibitive at multi-million-region N).
+        # (N*V bytes host-side; prohibitive at multi-million-region N).
+        itemsize = 1 if cfg.model.num_candidates < 256 else 2
+        gb = ds.size * cfg.data.vocab_size * itemsize / 2 ** 30
+        if gb > 16:
+            raise ValueError(
+                f"model.dense_candidate_loss needs a [N={ds.size}, "
+                f"V={cfg.data.vocab_size}] candidate-count array "
+                f"({gb:.1f} GB host-side) for stored candidate sets — "
+                f"beyond the supported scale. Use the gathered CE "
+                f"(drop the flag), or stream with resampled negatives "
+                f"(data.resample_negatives + vlmap_meta.json), where "
+                f"counts are built per batch instead.")
         ds = ArrayDataset(
             attach_candidate_counts(ds.arrays, cfg.data.vocab_size))
     if (stage == "vqa" and cfg.model.model == "vqa_end2end"
