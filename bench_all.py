@@ -102,7 +102,12 @@ def bench_stage1_vlmap(on_tpu: bool) -> dict:
             **({} if on_tpu else {"data.vocab_size": 256,
                                   "data.pool5_dim": 128}),
         })
-        ds = synthetic_vlmap(cfg, size=4096 if on_tpu else 128)
+        # BENCH_VLMAP_ROWS scales the corpus (dense mode: counts grow
+        # [N, V] — 64k rows = 1.07 GB u16 resident beside the features,
+        # the realistic-scale proof for the dense-CE path).
+        ds = synthetic_vlmap(
+            cfg, size=int(os.environ.get("BENCH_VLMAP_ROWS", "4096"))
+            if on_tpu else 128)
         spec = build_model(cfg)
         train_dir = tempfile.mkdtemp(prefix="ba_vlmap_")
         trainer = Trainer(cfg, spec, train_dir=train_dir)
